@@ -1,0 +1,790 @@
+"""Flax BART encoder/decoder with the full VL-PET hook surface.
+
+This reimplements the behavior of the reference's forked HF-4.2.1 BART
+(reference: src/my_transformers/modeling_bart.py) as idiomatic Flax:
+
+* post-LN layers, learned positions with offset 2 (:122-140)
+* encoder sublayer hook chain — serial adapters, four multihead-adapter
+  variants, granularity gates, standalone gating, hyperformer, scaling
+  (:882-1388)
+* decoder self/cross attention with value-parallel (VPA), key-parallel (KPA),
+  sequential value adapters and IA³ hooks (:283-737, :1391-1788)
+* functional KV-cache for incremental decoding: the cross-attention K/V
+  (including the VPA) are computed ONCE per sequence via ``compute_cross_kv``
+  and reused every step, matching the reference's cached-KV behavior
+  (:419-422).
+
+Known reference quirks replicated or documented:
+* value-adapter hooks fire only on the cross-attention path (the reference's
+  self-attention branches never apply them, :486-497) — replicated;
+* the multihead-VPA branch in the reference assigns its result to
+  ``hidden_states`` instead of ``value_states`` (:439-457), discarding it.
+  Here the *intended* math is implemented (value gets the delta) since the
+  flag is not part of any published recipe.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vlpet_tpu.config import BartConfig, PetConfig, PromptSpec, VisConfig, VLModelConfig
+from vlpet_tpu.pet.hypernet import (
+    AdapterLayersHyperNetController,
+    AdapterLayersOneHyperNetController,
+    MetaLayersAdapterController,
+)
+from vlpet_tpu.pet.modules import (
+    AdapterController,
+    GateLargeX,
+    GateLargeXLowRank,
+    GateMiddleXYAdd,
+    GateSmallXYCat,
+    IA3Vector,
+    LoRADense,
+    MultiheadDownAdapter,
+    MultiheadDownUpAdapter,
+    MultiheadPairAdapter,
+    MultiheadUpAdapter,
+    PetContext,
+    TaskDense,
+    get_activation,
+    normal_init,
+)
+from vlpet_tpu.pet.prompts import PromptController
+from vlpet_tpu.models.visual import (
+    LowRankVisualEmbedding,
+    VisualEmbedding,
+    downsample_vis,
+)
+
+Array = jax.Array
+
+NEG_INF = -1e9  # large negative for additive masks (finfo.min overflows in bf16 sums)
+
+
+def expand_mask(mask: Array, tgt_len: int, dtype) -> Array:
+    """[B, S] → additive [B, 1, T, S] (reference: modeling_bart.py:109-120)."""
+    B, S = mask.shape
+    m = jnp.broadcast_to(mask[:, None, None, :], (B, 1, tgt_len, S)).astype(dtype)
+    return (1.0 - m) * NEG_INF
+
+
+def causal_mask(tgt_len: int, dtype, offset: int = 0) -> Array:
+    """[1, 1, T, T+offset] additive causal mask; ``offset`` = past length."""
+    i = jnp.arange(tgt_len)[:, None]
+    j = jnp.arange(tgt_len + offset)[None, :]
+    allowed = j <= (i + offset)
+    return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
+
+
+# ---------------------------------------------------------------------------
+# Attention
+# ---------------------------------------------------------------------------
+
+
+class BartAttention(nn.Module):
+    """Multi-head attention with optional value/key hooks.
+
+    ``role`` picks the hook set: 'enc_self' | 'dec_self' | 'cross'.
+    Value hooks (VPA/sequential/IA3/multihead-VPA) follow the reference's
+    BartAttentionWithValueAdapter (:283-566); the key hook follows
+    BartAttentionWithKeyAdapter (:568-737). Per the reference, these fire
+    only when key_value_states are given (the cross-attention path).
+    """
+
+    cfg: VLModelConfig
+    embed_dim: int
+    num_heads: int
+    dropout: float = 0.0
+    is_decoder: bool = False
+    role: str = "enc_self"
+
+    def setup(self):
+        c = self.cfg
+        p = c.pet
+        d = self.embed_dim
+        init_std = c.backbone.init_std
+        self.head_dim = d // self.num_heads
+        self.scaling = self.head_dim ** -0.5
+        dense = lambda name: TaskDense(d, d, init_std=init_std, dtype=self._dtype,
+                                       name=name)
+        if p.use_lora:
+            lora = p.lora_spec()
+            self.q_proj = LoRADense(d, d, lora, init_std=init_std, dtype=self._dtype,
+                                    name="q_proj")
+            self.v_proj = LoRADense(d, d, lora, init_std=init_std, dtype=self._dtype,
+                                    name="v_proj")
+        else:
+            self.q_proj = dense("q_proj")
+            self.v_proj = dense("v_proj")
+        self.k_proj = dense("k_proj")
+        self.out_proj = dense("out_proj")
+
+        # --- value/key hooks -------------------------------------------------
+        self.vpa = None
+        self.seq_va = None
+        self.value_ia3 = None
+        self.mh_vpa = None
+        self.kpa = None
+        self.vpa_gate = None
+        self.seq_gate = None
+        if self.role == "cross":
+            if p.use_decoder_enc_attn_value_parallel_adapter_down_dim:
+                scaling = (p.decoder_enc_attn_value_parallel_adapter_scaling_factor
+                           if p.use_decoder_enc_attn_value_parallel_adapter_scaling else None)
+                spec = p.down_dim_spec(d, p.decoder_enc_attn_value_parallel_adapter_down_dim,
+                                       parallel=True, scaling=scaling)
+                self.vpa = AdapterController(spec, init_std=init_std, dtype=self._dtype,
+                                             name="attn_value_parallel_adapter")
+            elif p.use_decoder_enc_attn_value_sequential_adapter_down_dim:
+                spec = p.down_dim_spec(d, p.decoder_enc_attn_value_sequential_adapter_down_dim)
+                self.seq_va = AdapterController(spec, init_std=init_std, dtype=self._dtype,
+                                                name="enc_attn_value_sequential_adapter")
+            elif p.use_decoder_enc_attn_value_ia3:
+                self.value_ia3 = IA3Vector(d, param_name="attn_value_ia3",
+                                           name="value_ia3")
+            elif p.use_decoder_enc_attn_value_parallel_adapter_down_multihead:
+                self.mh_vpa = MultiheadDownAdapter(
+                    d, p.decoder_enc_attn_value_parallel_adapter_down_dim,
+                    p.decoder_enc_attn_value_parallel_adapter_multihead_num_head,
+                    init_std=init_std, dtype=self._dtype,
+                    name="attn_value_parallel_adapter_multihead")
+            elif p.use_decoder_enc_attn_value_parallel_adapter_down_up_pair_multihead:
+                self.mh_vpa = MultiheadPairAdapter(
+                    d, p.decoder_enc_attn_value_parallel_adapter_down_dim,
+                    p.decoder_enc_attn_value_parallel_adapter_multihead_num_head,
+                    init_std=init_std, dtype=self._dtype,
+                    name="attn_value_parallel_adapter_multihead")
+            if p.use_decoder_enc_attn_key_parallel_adapter_down_dim:
+                spec = p.down_dim_spec(d, p.decoder_enc_attn_key_parallel_adapter_down_dim,
+                                       parallel=True)
+                self.kpa = AdapterController(spec, init_std=init_std, dtype=self._dtype,
+                                             name="attn_key_parallel_adapter")
+            if (p.use_decoder_enc_attn_value_parallel_adapter_gating_large_x_lowrank
+                    and p.use_decoder_enc_attn_value_residual_connection):
+                self.vpa_gate = GateLargeXLowRank(
+                    d, p.decoder_enc_attn_value_parallel_adapter_gating_large_x_lowrank_down_dim,
+                    init_std=init_std, dtype=self._dtype,
+                    name="enc_attn_value_parallel_adapter_gating_large_x")
+            if (p.use_decoder_enc_attn_value_sequential_adapter_gating_large_x_lowrank
+                    and p.use_decoder_enc_attn_value_residual_connection):
+                self.seq_gate = GateLargeXLowRank(
+                    d, p.decoder_enc_attn_value_sequential_adapter_gating_large_x_lowrank_down_dim,
+                    init_std=init_std, dtype=self._dtype,
+                    name="enc_attn_value_sequential_adapter_gating_large_x")
+        elif self.role == "enc_self" and p.use_encoder_attn_value_ia3:
+            # quirk: params exist but the reference never applies them on the
+            # self-attention path; kept for trainable-param parity
+            self.value_ia3 = IA3Vector(d, param_name="attn_value_ia3", name="value_ia3")
+        elif self.role == "dec_self" and p.use_decoder_self_attn_value_ia3:
+            self.value_ia3 = IA3Vector(d, param_name="attn_value_ia3", name="value_ia3")
+        elif self.role == "dec_self" and p.use_decoder_self_attn_value_parallel_adapter_down_dim:
+            spec = p.down_dim_spec(d, p.decoder_self_attn_value_parallel_adapter_down_dim,
+                                   parallel=True)
+            self.vpa = AdapterController(spec, init_std=init_std, dtype=self._dtype,
+                                         name="attn_value_parallel_adapter")
+        elif self.role == "enc_self" and p.use_encoder_attn_value_parallel_adapter_down_dim:
+            spec = p.down_dim_spec(d, p.encoder_attn_value_parallel_adapter_down_dim,
+                                   parallel=True)
+            self.vpa = AdapterController(spec, init_std=init_std, dtype=self._dtype,
+                                         name="attn_value_parallel_adapter")
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def _shape(self, x: Array) -> Array:
+        B, L, _ = x.shape
+        return x.reshape(B, L, self.num_heads, self.head_dim)
+
+    def compute_cross_kv(self, kv_states: Array, ctx: PetContext) -> Tuple[Array, Array]:
+        """Projection + hooks for cross-attention K/V, in (B, S, H, Dh).
+
+        Hook math per the reference (:419-479): VPA is a parallel adapter on
+        v_proj's output with the raw encoder states as input; the optional
+        residual-connection block gates then adds the raw encoder states.
+        """
+        p = self.cfg.pet
+        k = self.k_proj(kv_states)
+        if self.kpa is not None:
+            k = self.kpa(kv_states, ctx, y=k)
+        v = self.v_proj(kv_states)
+        if self.vpa is not None:
+            v = self.vpa(kv_states, ctx, y=v)
+        elif self.seq_va is not None:
+            v = self.seq_va(kv_states, ctx)
+        elif self.value_ia3 is not None:
+            g = self.value_ia3()
+            if p.use_decoder_enc_attn_value_ia3_add:
+                v = v + v * g
+            else:
+                v = v * g
+        elif self.mh_vpa is not None:
+            v = v + self.mh_vpa(kv_states)
+        if self.role == "cross" and p.use_decoder_enc_attn_value_residual_connection:
+            if self.seq_gate is not None:
+                v = v * self.seq_gate(kv_states)
+            elif self.vpa_gate is not None:
+                v = v * self.vpa_gate(kv_states)
+            v = kv_states.astype(v.dtype) + v
+        return self._shape(k), self._shape(v)
+
+    def _attend(self, q: Array, k: Array, v: Array, mask: Optional[Array],
+                deterministic: bool) -> Array:
+        # q,k,v: (B, L, H, Dh); attention logits accumulate in fp32
+        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                            preferred_element_type=jnp.float32)
+        if mask is not None:
+            logits = logits + mask.astype(jnp.float32)
+        probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+        if self.dropout > 0.0:
+            probs = nn.Dropout(rate=self.dropout)(probs, deterministic=deterministic)
+        out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+        B, L = q.shape[:2]
+        return out.reshape(B, L, self.embed_dim)
+
+    def __call__(self, hidden_states: Array, ctx: PetContext,
+                 kv_states: Optional[Array] = None,
+                 attention_mask: Optional[Array] = None,
+                 cross_kv: Optional[Tuple[Array, Array]] = None,
+                 cache: Optional[Dict[str, Array]] = None,
+                 decode_pos: Optional[Array] = None,
+                 deterministic: bool = True):
+        """Returns (attn_output, new_cache)."""
+        q = self._shape(self.q_proj(hidden_states) * self.scaling)
+        new_cache = cache
+        if self.role == "cross":
+            if cross_kv is None:
+                k, v = self.compute_cross_kv(kv_states, ctx)
+            else:
+                k, v = cross_kv
+        elif cache is not None:
+            # incremental decode: write current k/v at decode_pos
+            k_new = self._shape(self.k_proj(hidden_states))
+            v_new = self._shape(self.v_proj(hidden_states))
+            k = jax.lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype),
+                                             (0, decode_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype),
+                                             (0, decode_pos, 0, 0))
+            new_cache = {"k": k, "v": v}
+        else:
+            k = self._shape(self.k_proj(hidden_states))
+            v = self._shape(self.v_proj(hidden_states))
+        out = self._attend(q, k, v, attention_mask, deterministic)
+        return self.out_proj(out), new_cache
+
+
+# ---------------------------------------------------------------------------
+# Encoder layer
+# ---------------------------------------------------------------------------
+
+
+class BartEncoderLayer(nn.Module):
+    """Post-LN encoder layer with the full VL-PET hook chain
+    (reference: my_transformers/modeling_bart.py:882-1388)."""
+
+    cfg: VLModelConfig
+    layer_idx: int = 0
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: Array, attention_mask: Array,
+                 ctx: PetContext, deterministic: bool = True) -> Array:
+        c = self.cfg
+        p = c.pet
+        b = c.backbone
+        d = b.d_model
+        init_std = b.init_std
+        dt = self._dtype
+        dropout = nn.Dropout(rate=b.dropout)
+        act_dropout = nn.Dropout(rate=b.activation_dropout)
+        act = get_activation(b.activation_function)
+
+        use_serial_adapters = ((p.use_adapter or p.use_compacter or p.use_lradapter)
+                               and not p.no_encoder_adapter)
+
+        def multihead(prefix: str):
+            args = dict(d_model=d, down_dim=p.adapter_down_dim,
+                        num_heads=p.encoder_adapter_multihead_num_head,
+                        init_std=init_std, dtype=dt,
+                        name=f"{prefix}_adapter_multihead")
+            if p.use_encoder_adapter_down_multihead:
+                return MultiheadDownAdapter(**args)
+            if p.use_encoder_adapter_up_multihead:
+                return MultiheadUpAdapter(**args)
+            if p.use_encoder_adapter_down_up_multihead:
+                return MultiheadDownUpAdapter(**args)
+            if p.use_encoder_adapter_down_up_pair_multihead:
+                return MultiheadPairAdapter(**args)
+            return None
+
+        def hooks(h: Array, residual: Array, prefix: str, block_w) -> Array:
+            """The post-sublayer hook chain; ``residual`` is the sublayer
+            input x1, ``h`` the sublayer output x2 (pre-residual)."""
+            # 1. serial adapter or multihead adapter (with its own residual)
+            if use_serial_adapters and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                scaling = None
+                if prefix == "attn" and p.use_encoder_attn_adapter_scaling:
+                    scaling = p.encoder_attn_adapter_scaling_factor
+                if prefix == "ff" and p.use_encoder_ff_adapter_scaling:
+                    scaling = p.encoder_ff_adapter_scaling_factor
+                spec = p.adapter_spec(d)
+                if scaling is not None:
+                    spec = dataclasses.replace(spec, use_scaling_factor=True,
+                                               scaling_factor=scaling)
+                h = AdapterController(spec, init_std=init_std, dtype=dt,
+                                      name=f"{prefix}_adapter")(h, ctx)
+            else:
+                mh = multihead(prefix)
+                if mh is not None:
+                    h = h + mh(h)
+            # 2. adapter-gating chain (mutually exclusive, reference :1189-1236)
+            gate = None
+            if p.use_encoder_adapter_gating_large_x and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                gate = GateLargeX(d, init_std=init_std, dtype=dt,
+                                  name=f"encoder_{prefix}_adapter_gating_large_x")(residual)
+            elif p.use_encoder_adapter_gating_large_x_lowrank and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                gate = GateLargeXLowRank(d, p.adapter_gating_down_dim, init_std=init_std,
+                                         dtype=dt,
+                                         name=f"encoder_{prefix}_adapter_gating_large_x_lowrank")(residual)
+            elif p.use_encoder_adapter_gating_small_xy_cat and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                gate = GateSmallXYCat(d, init_std=init_std, dtype=dt,
+                                      name=f"encoder_{prefix}_adapter_gating_small_xy_cat")(residual, h)
+            elif p.use_encoder_adapter_gating_middle_xy_add and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                gate = GateMiddleXYAdd(d, init_std=init_std, dtype=dt,
+                                       name=f"encoder_{prefix}_adapter_gating_middle_xy_add")(residual, h)
+            elif p.use_encoder_adapter_gating_middle_ia3_add and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                g = IA3Vector(d, name=f"encoder_{prefix}_adapter_gating_middle_ia3_add",
+                              param_name="gating_middle_ia3")()
+                if p.use_encoder_adapter_gating_add:
+                    h = h + jnp.ones_like(h) + g
+                else:
+                    h = h + h * g.astype(h.dtype)
+            elif p.use_encoder_adapter_gating_layernorm:
+                h = nn.LayerNorm(dtype=dt, name=f"encoder_{prefix}_adapter_gating_layernorm")(h)
+            elif p.use_encoder_adapter_gating_l2norm:
+                h = h / jnp.clip(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+            if gate is not None:
+                h = (h + gate) if p.use_encoder_adapter_gating_add else h * gate
+            # 3. standalone gating replacing the adapter (reference :1238-1251)
+            if p.use_encoder_gating_large_x_lowrank and not (prefix == "attn" and p.no_encoder_attn_adapter):
+                g, pre = GateLargeXLowRank(
+                    d, p.gating_down_dim, init_std=init_std, dtype=dt,
+                    name=f"encoder_{prefix}_gating_large_x_lowrank")(residual,
+                                                                     return_pre_sigmoid=True)
+                if p.use_encoder_gating_large_x_lowrank_add_x2_deltay:
+                    h = (pre + h) * g
+                else:
+                    h = pre + h * g
+            # 4. hyperformer
+            if p.use_hyperformer and block_w is not None:
+                h = MetaLayersAdapterController(
+                    d_model=d, dtype=dt,
+                    add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+                    add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+                    name="adapter_hypernet")(h, block_w)
+            # 5. gating scaling
+            if p.use_encoder_gating_scaling:
+                h = h * p.encoder_gating_scaling_factor
+            return h
+
+        block = ctx.block_adapters
+
+        # --- self-attention sublayer ----------------------------------------
+        residual = hidden_states
+        h, _ = BartAttention(c, d, b.encoder_attention_heads, b.attention_dropout,
+                             role="enc_self", name="self_attn")(
+            hidden_states, ctx, attention_mask=attention_mask,
+            deterministic=deterministic)
+        h = hooks(h, residual, "attn", block.self_attention if block else None)
+        h = dropout(h, deterministic=deterministic)
+        hidden_states = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")(residual + h)
+
+        # --- feed-forward sublayer -------------------------------------------
+        residual = hidden_states
+        h = TaskDense(d, b.encoder_ffn_dim, init_std=init_std, dtype=dt,
+                      name="fc1")(hidden_states)
+        h = act(h)
+        h = act_dropout(h, deterministic=deterministic)
+        h = TaskDense(b.encoder_ffn_dim, d, init_std=init_std, dtype=dt, name="fc2")(h)
+        h = hooks(h, residual, "ff", block.feed_forward if block else None)
+        h = dropout(h, deterministic=deterministic)
+        hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
+
+        if dt != jnp.float32:
+            clamp = jnp.finfo(dt).max - 1000
+            hidden_states = jnp.clip(hidden_states, -clamp, clamp)
+        return hidden_states
+
+
+# ---------------------------------------------------------------------------
+# Decoder layer
+# ---------------------------------------------------------------------------
+
+
+class BartDecoderLayer(nn.Module):
+    """Post-LN decoder layer with self-attn / cross-attn / FFN hooks
+    (reference: my_transformers/modeling_bart.py:1391-1788)."""
+
+    cfg: VLModelConfig
+    layer_idx: int = 0
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    @nn.compact
+    def __call__(self, hidden_states: Array, ctx: PetContext,
+                 encoder_hidden_states: Optional[Array] = None,
+                 attention_mask: Optional[Array] = None,
+                 encoder_attention_mask: Optional[Array] = None,
+                 cross_kv: Optional[Tuple[Array, Array]] = None,
+                 cache: Optional[Dict[str, Array]] = None,
+                 decode_pos: Optional[Array] = None,
+                 deterministic: bool = True):
+        c = self.cfg
+        p = c.pet
+        b = c.backbone
+        d = b.d_model
+        init_std = b.init_std
+        dt = self._dtype
+        dropout = nn.Dropout(rate=b.dropout)
+        act_dropout = nn.Dropout(rate=b.activation_dropout)
+        act = get_activation(b.activation_function)
+        block = ctx.block_adapters
+        use_serial = ((p.use_adapter or p.use_compacter or p.use_lradapter)
+                      and not p.no_decoder_adapter)
+
+        def meta(h, w):
+            return MetaLayersAdapterController(
+                d_model=d, dtype=dt,
+                add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+                add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+                name="adapter_hypernet")(h, w)
+
+        # --- self-attention ----------------------------------------------------
+        residual = hidden_states
+        h, new_cache = BartAttention(c, d, b.decoder_attention_heads,
+                                     b.attention_dropout, is_decoder=True,
+                                     role="dec_self", name="self_attn")(
+            hidden_states, ctx, attention_mask=attention_mask, cache=cache,
+            decode_pos=decode_pos, deterministic=deterministic)
+        if use_serial:
+            h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
+                                  name="self_attn_adapter")(h, ctx)
+        elif p.use_decoder_self_attn_adapter_down_dim:
+            spec = p.down_dim_spec(d, p.decoder_self_attn_adapter_down_dim)
+            h = AdapterController(spec, init_std=init_std, dtype=dt,
+                                  name="decoder_self_attn_adapter")(h, ctx)
+        elif p.use_decoder_adapter_down_multihead:
+            h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
+                                         p.decoder_adapter_multihead_num_head,
+                                         init_std=init_std, dtype=dt,
+                                         name="self_attn_adapter_multihead")(h)
+        if p.use_hyperformer and block is not None:
+            h = meta(h, block.self_attention)
+        h = dropout(h, deterministic=deterministic)
+        hidden_states = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")(residual + h)
+
+        # --- cross-attention -----------------------------------------------------
+        if encoder_hidden_states is not None or cross_kv is not None:
+            residual = hidden_states
+            enc_h = encoder_hidden_states
+            if p.use_decoder_enc_attn_key_value_adapter_down_dim and enc_h is not None:
+                spec = p.down_dim_spec(d, p.decoder_enc_attn_key_value_adapter_down_dim)
+                enc_h = AdapterController(spec, init_std=init_std, dtype=dt,
+                                          name="decoder_enc_attn_key_value_adapter")(enc_h, ctx)
+            h, _ = BartAttention(c, d, b.decoder_attention_heads, b.attention_dropout,
+                                 is_decoder=True, role="cross", name="encoder_attn")(
+                hidden_states, ctx, kv_states=enc_h,
+                attention_mask=encoder_attention_mask, cross_kv=cross_kv,
+                deterministic=deterministic)
+            if use_serial and p.add_adapter_cross_attn:
+                h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
+                                      name="enc_attn_adapter")(h, ctx)
+            elif p.use_decoder_enc_attn_adapter_down_dim:
+                spec = p.down_dim_spec(d, p.decoder_enc_attn_adapter_down_dim)
+                h = AdapterController(spec, init_std=init_std, dtype=dt,
+                                      name="decoder_enc_attn_adapter")(h, ctx)
+                if p.use_decoder_enc_attn_adapter_gating_large_x_lowrank:
+                    gate = GateLargeXLowRank(
+                        d, p.decoder_enc_attn_adapter_gating_large_x_lowrank_down_dim,
+                        init_std=init_std, dtype=dt,
+                        name="decoder_enc_attn_adapter_gating_large_x")(residual)
+                    h = h * gate
+            elif p.use_decoder_adapter_down_multihead:
+                h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
+                                             p.decoder_adapter_multihead_num_head,
+                                             init_std=init_std, dtype=dt,
+                                             name="enc_attn_adapter_multihead")(h)
+            if p.use_hyperformer and block is not None and p.add_adapter_cross_attn:
+                h = meta(h, block.cross_attention)
+            h = dropout(h, deterministic=deterministic)
+            hidden_states = nn.LayerNorm(dtype=dt,
+                                         name="encoder_attn_layer_norm")(residual + h)
+
+        # --- feed-forward ---------------------------------------------------------
+        residual = hidden_states
+        h = TaskDense(d, b.decoder_ffn_dim, init_std=init_std, dtype=dt,
+                      name="fc1")(hidden_states)
+        h = act(h)
+        if p.use_decoder_ff_ia3:
+            g = IA3Vector(b.decoder_ffn_dim, name="decoder_ff_ia3_mod",
+                          param_name="decoder_ff_ia3")()
+            if p.use_decoder_ff_ia3_add:
+                h = h + h * g.astype(h.dtype)
+            else:
+                h = h * g.astype(h.dtype)
+        h = act_dropout(h, deterministic=deterministic)
+        h = TaskDense(b.decoder_ffn_dim, d, init_std=init_std, dtype=dt, name="fc2")(h)
+        if use_serial:
+            h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
+                                  name="ff_adapter")(h, ctx)
+        elif p.use_decoder_ff_adapter_down_dim:
+            spec = p.down_dim_spec(d, p.decoder_ff_adapter_down_dim)
+            h = AdapterController(spec, init_std=init_std, dtype=dt,
+                                  name="decoder_ff_adapter")(h, ctx)
+        elif p.use_decoder_adapter_down_multihead:
+            h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
+                                         p.decoder_adapter_multihead_num_head,
+                                         init_std=init_std, dtype=dt,
+                                         name="ff_adapter_multihead")(h)
+        if p.use_hyperformer and block is not None:
+            h = meta(h, block.feed_forward)
+        h = dropout(h, deterministic=deterministic)
+        hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
+        return hidden_states, new_cache
+
+
+# ---------------------------------------------------------------------------
+# Stacks
+# ---------------------------------------------------------------------------
+
+
+class JointEncoder(nn.Module):
+    """BART encoder + visual concat (reference: src/modeling_bart.py:696-898).
+
+    Sequence layout: [prompt_prefix?; text; vis]. Text embeddings get
+    layernorm_embedding before the concat (share_vis_lang_layer_norm=False
+    default); the joint mask is text-mask ++ vis-mask.
+    """
+
+    cfg: VLModelConfig
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def _stack_hypernet(self):
+        p = self.cfg.pet
+        if not p.use_hyperformer:
+            return None
+        spec_kw = dict(
+            d_model=self.cfg.d_model, reduction_factor=p.reduction_factor,
+            num_layers=self.cfg.backbone.encoder_layers,
+            add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+            add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+            dtype=self._dtype, name="adapter_layers_hyper_net")
+        from vlpet_tpu.config import HyperformerSpec
+        hspec = HyperformerSpec(
+            projected_task_embedding_dim=(p.projected_task_embedding_dim
+                                          if p.projected_task_embedding_dim > 0 else 64),
+            unique_hyper_net=p.unique_hyper_net,
+            efficient_unique_hyper_net=p.efficient_unique_hyper_net)
+        if p.efficient_unique_hyper_net:
+            return AdapterLayersOneHyperNetController(hspec, **spec_kw)
+        return AdapterLayersHyperNetController(hspec, **spec_kw)
+
+    @nn.compact
+    def __call__(self, input_ids: Array, attention_mask: Array,
+                 shared_embedding: Array,
+                 vis_feats: Optional[Array] = None,
+                 boxes: Optional[Array] = None,
+                 img_order_ids: Optional[Array] = None,
+                 obj_order_ids: Optional[Array] = None,
+                 vis_attention_mask: Optional[Array] = None,
+                 ctx: PetContext = None,
+                 task_embedding: Optional[Array] = None,
+                 deterministic: bool = True) -> Tuple[Array, Array]:
+        """Returns (hidden_states, joint_attention_mask[B, L_joint])."""
+        c = self.cfg
+        b = c.backbone
+        v = c.vis
+        dt = self._dtype
+        ctx = ctx or PetContext()
+        B, L = input_ids.shape
+
+        embed_scale = (b.d_model ** 0.5) if b.scale_embedding else 1.0
+        inputs_embeds = jnp.take(shared_embedding, input_ids, axis=0).astype(dt) * embed_scale
+        pos_table = self.param("embed_positions",
+                               normal_init(b.init_std),
+                               (b.max_position_embeddings + 2, b.d_model))
+        positions = pos_table[2:2 + L].astype(dt)
+        inputs_embeds = inputs_embeds + positions[None]
+
+        # encoder prompt prefix (reference: :776-778)
+        if c.pet.encoder_prompt_len > 0:
+            spec = PromptSpec(prompt_len=c.pet.encoder_prompt_len,
+                              mid_dim=c.pet.mid_dim,
+                              use_single_prompt=c.pet.use_single_prompt,
+                              tasks=c.pet.tasks)
+            prefix = PromptController(spec, b.d_model, init_std=b.init_std, dtype=dt,
+                                      name="prompt_modules")(B, ctx.task_idx)
+            inputs_embeds = jnp.concatenate([prefix, inputs_embeds], axis=1)
+            attention_mask = jnp.concatenate(
+                [jnp.ones((B, prefix.shape[1]), attention_mask.dtype), attention_mask],
+                axis=1)
+
+        if not v.no_vis and vis_feats is not None:
+            vis_inputs = (vis_feats, boxes)
+            if img_order_ids is not None:
+                vis_inputs = (vis_feats, boxes, img_order_ids, obj_order_ids)
+            if v.oneddownsample:
+                vis_inputs = downsample_vis(vis_inputs, v.n_boxes, oned=True)
+            elif v.downsample:
+                vis_inputs = downsample_vis(vis_inputs, v.n_boxes)
+            vf, bx = vis_inputs[0], vis_inputs[1]
+            io = vis_inputs[2] if len(vis_inputs) == 4 else img_order_ids
+            oo = vis_inputs[3] if len(vis_inputs) == 4 else obj_order_ids
+            ve_cls = LowRankVisualEmbedding if v.use_lowrank_visual_projector else VisualEmbedding
+            vis_embeds = ve_cls(v, b.d_model, init_std=b.init_std, dtype=dt,
+                                name="visual_embedding")(vf, bx, shared_embedding,
+                                                         img_order_ids=io,
+                                                         obj_order_ids=oo)
+            V_L = vis_embeds.shape[1]
+            if v.share_vis_lang_layer_norm:
+                h = jnp.concatenate([inputs_embeds, vis_embeds], axis=1)
+                h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(h)
+            else:
+                inputs_embeds = nn.LayerNorm(dtype=dt,
+                                             name="layernorm_embedding")(inputs_embeds)
+                h = jnp.concatenate([inputs_embeds, vis_embeds], axis=1)
+            if vis_attention_mask is None:
+                vis_attention_mask = jnp.ones((B, V_L), attention_mask.dtype)
+            joint_mask = jnp.concatenate([attention_mask, vis_attention_mask], axis=1)
+        else:
+            h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(inputs_embeds)
+            joint_mask = attention_mask
+
+        h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
+        attn_mask = expand_mask(joint_mask, h.shape[1], dt)
+
+        hypernet = self._stack_hypernet()
+        for i in range(b.encoder_layers):
+            block = hypernet(task_embedding, i) if hypernet is not None else None
+            h = BartEncoderLayer(c, i, name=f"layers_{i}")(
+                h, attn_mask, ctx.for_layer(block), deterministic=deterministic)
+        return h, joint_mask
+
+
+class BartDecoder(nn.Module):
+    """BART decoder stack (reference: my_transformers/modeling_bart.py:2123-2363)."""
+
+    cfg: VLModelConfig
+
+    @property
+    def _dtype(self):
+        return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
+
+    def _stack_hypernet(self):
+        p = self.cfg.pet
+        if not p.use_hyperformer:
+            return None
+        from vlpet_tpu.config import HyperformerSpec
+        hspec = HyperformerSpec(
+            projected_task_embedding_dim=(p.projected_task_embedding_dim
+                                          if p.projected_task_embedding_dim > 0 else 64),
+            unique_hyper_net=p.unique_hyper_net,
+            efficient_unique_hyper_net=p.efficient_unique_hyper_net)
+        spec_kw = dict(
+            d_model=self.cfg.d_model, reduction_factor=p.reduction_factor,
+            num_layers=self.cfg.backbone.decoder_layers,
+            include_cross_attention=p.add_adapter_cross_attn,
+            add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+            add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+            dtype=self._dtype, name="adapter_layers_hyper_net")
+        if p.efficient_unique_hyper_net:
+            return AdapterLayersOneHyperNetController(hspec, **spec_kw)
+        return AdapterLayersHyperNetController(hspec, **spec_kw)
+
+    @nn.compact
+    def __call__(self, input_ids: Array, shared_embedding: Array,
+                 encoder_hidden_states: Optional[Array] = None,
+                 encoder_attention_mask: Optional[Array] = None,
+                 decoder_attention_mask: Optional[Array] = None,
+                 ctx: PetContext = None,
+                 task_embedding: Optional[Array] = None,
+                 cross_kvs: Optional[Tuple] = None,
+                 cache: Optional[Tuple] = None,
+                 decode_pos: Optional[Array] = None,
+                 deterministic: bool = True):
+        """Training: full teacher forcing (cache=None).
+        Decoding: input_ids is (B, 1), cache holds (k, v) per layer, cross_kvs
+        the precomputed cross-attention K/V per layer.
+        Returns (hidden, new_cache)."""
+        c = self.cfg
+        b = c.backbone
+        dt = self._dtype
+        ctx = ctx or PetContext()
+        B, T = input_ids.shape
+
+        embed_scale = (b.d_model ** 0.5) if b.scale_embedding else 1.0
+        h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt) * embed_scale
+        pos_table = self.param("embed_positions", normal_init(b.init_std),
+                               (b.max_position_embeddings + 2, b.d_model))
+        if decode_pos is None:
+            h = h + pos_table[2:2 + T].astype(dt)[None]
+            self_mask = causal_mask(T, dt)
+            if decoder_attention_mask is not None:
+                self_mask = self_mask + expand_mask(decoder_attention_mask, T, dt)
+        else:
+            pos_emb = jax.lax.dynamic_slice(pos_table, (decode_pos + 2, 0),
+                                            (1, b.d_model)).astype(dt)
+            h = h + pos_emb[None]
+            max_len = cache[0]["k"].shape[1]
+            j = jnp.arange(max_len)[None, None, None, :]
+            self_mask = jnp.where(j <= decode_pos, 0.0, NEG_INF).astype(dt)
+
+        h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(h)
+        h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
+
+        cross_mask = None
+        if encoder_attention_mask is not None:
+            cross_mask = expand_mask(encoder_attention_mask, h.shape[1], dt)
+
+        hypernet = self._stack_hypernet()
+        new_cache = []
+        for i in range(b.decoder_layers):
+            block = hypernet(task_embedding, i) if hypernet is not None else None
+            h, layer_cache = BartDecoderLayer(c, i, name=f"layers_{i}")(
+                h, ctx.for_layer(block),
+                encoder_hidden_states=encoder_hidden_states,
+                attention_mask=self_mask,
+                encoder_attention_mask=cross_mask,
+                cross_kv=cross_kvs[i] if cross_kvs is not None else None,
+                cache=cache[i] if cache is not None else None,
+                decode_pos=decode_pos,
+                deterministic=deterministic)
+            new_cache.append(layer_cache)
+        return h, (tuple(new_cache) if cache is not None else None)
+
+    def compute_cross_kvs(self, encoder_hidden_states: Array, ctx: PetContext):
+        """Precompute per-layer cross-attention K/V (VPA included) once per
+        sequence — the reference caches these after the first decode step
+        (my_transformers/modeling_bart.py:419-422)."""
+        kvs = []
+        for i in range(self.cfg.backbone.decoder_layers):
+            b = self.cfg.backbone
+            attn = BartAttention(self.cfg, b.d_model, b.decoder_attention_heads,
+                                 b.attention_dropout, is_decoder=True, role="cross",
+                                 name=f"layers_{i}/encoder_attn")
+            kvs.append(attn.compute_cross_kv(encoder_hidden_states, ctx))
+        return tuple(kvs)
