@@ -432,7 +432,11 @@ class BartEncoderLayer(nn.Module):
 
 class BartDecoderLayer(nn.Module):
     """Post-LN decoder layer with self-attn / cross-attn / FFN hooks
-    (reference: my_transformers/modeling_bart.py:1391-1788)."""
+    (reference: my_transformers/modeling_bart.py:1391-1788).
+
+    setup-style so ``self_attn``/``encoder_attn`` scopes are reachable from
+    the stack's cross-KV precompute path.
+    """
 
     cfg: VLModelConfig
     layer_idx: int = 0
@@ -441,7 +445,89 @@ class BartDecoderLayer(nn.Module):
     def _dtype(self):
         return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        p = c.pet
+        b = c.backbone
+        d = b.d_model
+        init_std = b.init_std
+        dt = self._dtype
+        self.use_serial = ((p.use_adapter or p.use_compacter or p.use_lradapter)
+                           and not p.no_decoder_adapter)
+        self.self_attn = BartAttention(c, d, b.decoder_attention_heads,
+                                       b.attention_dropout, is_decoder=True,
+                                       role="dec_self", name="self_attn")
+        self.encoder_attn = BartAttention(c, d, b.decoder_attention_heads,
+                                          b.attention_dropout, is_decoder=True,
+                                          role="cross", name="encoder_attn")
+        self.self_attn_layer_norm = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")
+        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=dt,
+                                                    name="encoder_attn_layer_norm")
+        self.final_layer_norm = nn.LayerNorm(dtype=dt, name="final_layer_norm")
+        self.fc1 = TaskDense(d, b.decoder_ffn_dim, init_std=init_std, dtype=dt,
+                             name="fc1")
+        self.fc2 = TaskDense(b.decoder_ffn_dim, d, init_std=init_std, dtype=dt,
+                             name="fc2")
+        self.dropout = nn.Dropout(rate=b.dropout)
+        self.act_dropout = nn.Dropout(rate=b.activation_dropout)
+
+        mk_ac = lambda spec, name: AdapterController(spec, init_std=init_std,
+                                                     dtype=dt, name=name)
+        self.self_attn_adapter = None
+        self.decoder_self_attn_adapter = None
+        self.self_attn_adapter_multihead = None
+        self.enc_attn_adapter = None
+        self.decoder_enc_attn_adapter = None
+        self.enc_attn_adapter_multihead = None
+        self.ff_adapter = None
+        self.decoder_ff_adapter = None
+        self.ff_adapter_multihead = None
+        self.decoder_enc_attn_key_value_adapter = None
+        self.decoder_enc_attn_adapter_gating = None
+        self.decoder_ff_ia3_mod = None
+        if self.use_serial:
+            self.self_attn_adapter = mk_ac(p.adapter_spec(d), "self_attn_adapter")
+            if p.add_adapter_cross_attn:
+                self.enc_attn_adapter = mk_ac(p.adapter_spec(d), "enc_attn_adapter")
+            self.ff_adapter = mk_ac(p.adapter_spec(d), "ff_adapter")
+        if p.use_decoder_self_attn_adapter_down_dim:
+            self.decoder_self_attn_adapter = mk_ac(
+                p.down_dim_spec(d, p.decoder_self_attn_adapter_down_dim),
+                "decoder_self_attn_adapter")
+        if p.use_decoder_enc_attn_adapter_down_dim:
+            self.decoder_enc_attn_adapter = mk_ac(
+                p.down_dim_spec(d, p.decoder_enc_attn_adapter_down_dim),
+                "decoder_enc_attn_adapter")
+            if p.use_decoder_enc_attn_adapter_gating_large_x_lowrank:
+                self.decoder_enc_attn_adapter_gating = GateLargeXLowRank(
+                    d, p.decoder_enc_attn_adapter_gating_large_x_lowrank_down_dim,
+                    init_std=init_std, dtype=dt,
+                    name="decoder_enc_attn_adapter_gating_large_x")
+        if p.use_decoder_ff_adapter_down_dim:
+            self.decoder_ff_adapter = mk_ac(
+                p.down_dim_spec(d, p.decoder_ff_adapter_down_dim),
+                "decoder_ff_adapter")
+        if p.use_decoder_adapter_down_multihead and not self.use_serial:
+            mk_mh = lambda name: MultiheadDownAdapter(
+                d, p.adapter_down_dim, p.decoder_adapter_multihead_num_head,
+                init_std=init_std, dtype=dt, name=name)
+            self.self_attn_adapter_multihead = mk_mh("self_attn_adapter_multihead")
+            self.enc_attn_adapter_multihead = mk_mh("enc_attn_adapter_multihead")
+            self.ff_adapter_multihead = mk_mh("ff_adapter_multihead")
+        if p.use_decoder_enc_attn_key_value_adapter_down_dim:
+            self.decoder_enc_attn_key_value_adapter = mk_ac(
+                p.down_dim_spec(d, p.decoder_enc_attn_key_value_adapter_down_dim),
+                "decoder_enc_attn_key_value_adapter")
+        if p.use_decoder_ff_ia3:
+            self.decoder_ff_ia3_mod = IA3Vector(b.decoder_ffn_dim,
+                                                name="decoder_ff_ia3_mod",
+                                                param_name="decoder_ff_ia3")
+        self.adapter_hypernet = (MetaLayersAdapterController(
+            d_model=d, dtype=dt,
+            add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+            add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+            name="adapter_hypernet") if p.use_hyperformer else None)
+
     def __call__(self, hidden_states: Array, ctx: PetContext,
                  encoder_hidden_states: Optional[Array] = None,
                  attention_mask: Optional[Array] = None,
@@ -453,115 +539,75 @@ class BartDecoderLayer(nn.Module):
         c = self.cfg
         p = c.pet
         b = c.backbone
-        d = b.d_model
-        init_std = b.init_std
-        dt = self._dtype
-        dropout = nn.Dropout(rate=b.dropout)
-        act_dropout = nn.Dropout(rate=b.activation_dropout)
         act = get_activation(b.activation_function)
         block = ctx.block_adapters
-        use_serial = ((p.use_adapter or p.use_compacter or p.use_lradapter)
-                      and not p.no_decoder_adapter)
 
-        def meta(h, w):
-            return MetaLayersAdapterController(
-                d_model=d, dtype=dt,
-                add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
-                add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
-                name="adapter_hypernet")(h, w)
-
-        # --- self-attention ----------------------------------------------------
+        # --- self-attention ---------------------------------------------------
         residual = hidden_states
-        h, new_cache = BartAttention(c, d, b.decoder_attention_heads,
-                                     b.attention_dropout, is_decoder=True,
-                                     role="dec_self", name="self_attn")(
-            hidden_states, ctx, attention_mask=attention_mask, cache=cache,
-            decode_pos=decode_pos, deterministic=deterministic)
-        if use_serial:
-            h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
-                                  name="self_attn_adapter")(h, ctx)
-        elif p.use_decoder_self_attn_adapter_down_dim:
-            spec = p.down_dim_spec(d, p.decoder_self_attn_adapter_down_dim)
-            h = AdapterController(spec, init_std=init_std, dtype=dt,
-                                  name="decoder_self_attn_adapter")(h, ctx)
-        elif p.use_decoder_adapter_down_multihead:
-            h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
-                                         p.decoder_adapter_multihead_num_head,
-                                         init_std=init_std, dtype=dt,
-                                         name="self_attn_adapter_multihead")(h)
-        if p.use_hyperformer and block is not None:
-            h = meta(h, block.self_attention)
-        h = dropout(h, deterministic=deterministic)
-        hidden_states = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")(residual + h)
+        h, new_cache = self.self_attn(hidden_states, ctx,
+                                      attention_mask=attention_mask, cache=cache,
+                                      decode_pos=decode_pos,
+                                      deterministic=deterministic)
+        if self.self_attn_adapter is not None:
+            h = self.self_attn_adapter(h, ctx)
+        elif self.decoder_self_attn_adapter is not None:
+            h = self.decoder_self_attn_adapter(h, ctx)
+        elif self.self_attn_adapter_multihead is not None:
+            h = h + self.self_attn_adapter_multihead(h)
+        if self.adapter_hypernet is not None and block is not None:
+            h = self.adapter_hypernet(h, block.self_attention)
+        h = self.dropout(h, deterministic=deterministic)
+        hidden_states = self.self_attn_layer_norm(residual + h)
 
-        # --- cross-attention -----------------------------------------------------
+        # --- cross-attention ----------------------------------------------------
         if encoder_hidden_states is not None or cross_kv is not None:
             residual = hidden_states
             enc_h = encoder_hidden_states
-            if p.use_decoder_enc_attn_key_value_adapter_down_dim and enc_h is not None:
-                spec = p.down_dim_spec(d, p.decoder_enc_attn_key_value_adapter_down_dim)
-                enc_h = AdapterController(spec, init_std=init_std, dtype=dt,
-                                          name="decoder_enc_attn_key_value_adapter")(enc_h, ctx)
-            h, _ = BartAttention(c, d, b.decoder_attention_heads, b.attention_dropout,
-                                 is_decoder=True, role="cross", name="encoder_attn")(
-                hidden_states, ctx, kv_states=enc_h,
-                attention_mask=encoder_attention_mask, cross_kv=cross_kv,
-                deterministic=deterministic)
-            if use_serial and p.add_adapter_cross_attn:
-                h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
-                                      name="enc_attn_adapter")(h, ctx)
-            elif p.use_decoder_enc_attn_adapter_down_dim:
-                spec = p.down_dim_spec(d, p.decoder_enc_attn_adapter_down_dim)
-                h = AdapterController(spec, init_std=init_std, dtype=dt,
-                                      name="decoder_enc_attn_adapter")(h, ctx)
-                if p.use_decoder_enc_attn_adapter_gating_large_x_lowrank:
-                    gate = GateLargeXLowRank(
-                        d, p.decoder_enc_attn_adapter_gating_large_x_lowrank_down_dim,
-                        init_std=init_std, dtype=dt,
-                        name="decoder_enc_attn_adapter_gating_large_x")(residual)
-                    h = h * gate
-            elif p.use_decoder_adapter_down_multihead:
-                h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
-                                             p.decoder_adapter_multihead_num_head,
-                                             init_std=init_std, dtype=dt,
-                                             name="enc_attn_adapter_multihead")(h)
-            if p.use_hyperformer and block is not None and p.add_adapter_cross_attn:
-                h = meta(h, block.cross_attention)
-            h = dropout(h, deterministic=deterministic)
-            hidden_states = nn.LayerNorm(dtype=dt,
-                                         name="encoder_attn_layer_norm")(residual + h)
+            if self.decoder_enc_attn_key_value_adapter is not None and enc_h is not None:
+                enc_h = self.decoder_enc_attn_key_value_adapter(enc_h, ctx)
+            h, _ = self.encoder_attn(hidden_states, ctx, kv_states=enc_h,
+                                     attention_mask=encoder_attention_mask,
+                                     cross_kv=cross_kv,
+                                     deterministic=deterministic)
+            if self.enc_attn_adapter is not None:
+                h = self.enc_attn_adapter(h, ctx)
+            elif self.decoder_enc_attn_adapter is not None:
+                h = self.decoder_enc_attn_adapter(h, ctx)
+                if self.decoder_enc_attn_adapter_gating is not None:
+                    h = h * self.decoder_enc_attn_adapter_gating(residual)
+            elif self.enc_attn_adapter_multihead is not None:
+                h = h + self.enc_attn_adapter_multihead(h)
+            if (self.adapter_hypernet is not None and block is not None
+                    and p.add_adapter_cross_attn):
+                h = self.adapter_hypernet(h, block.cross_attention)
+            h = self.dropout(h, deterministic=deterministic)
+            hidden_states = self.encoder_attn_layer_norm(residual + h)
 
-        # --- feed-forward ---------------------------------------------------------
+        # --- feed-forward ----------------------------------------------------------
         residual = hidden_states
-        h = TaskDense(d, b.decoder_ffn_dim, init_std=init_std, dtype=dt,
-                      name="fc1")(hidden_states)
-        h = act(h)
-        if p.use_decoder_ff_ia3:
-            g = IA3Vector(b.decoder_ffn_dim, name="decoder_ff_ia3_mod",
-                          param_name="decoder_ff_ia3")()
-            if p.use_decoder_ff_ia3_add:
-                h = h + h * g.astype(h.dtype)
-            else:
-                h = h * g.astype(h.dtype)
-        h = act_dropout(h, deterministic=deterministic)
-        h = TaskDense(b.decoder_ffn_dim, d, init_std=init_std, dtype=dt, name="fc2")(h)
-        if use_serial:
-            h = AdapterController(p.adapter_spec(d), init_std=init_std, dtype=dt,
-                                  name="ff_adapter")(h, ctx)
-        elif p.use_decoder_ff_adapter_down_dim:
-            spec = p.down_dim_spec(d, p.decoder_ff_adapter_down_dim)
-            h = AdapterController(spec, init_std=init_std, dtype=dt,
-                                  name="decoder_ff_adapter")(h, ctx)
-        elif p.use_decoder_adapter_down_multihead:
-            h = h + MultiheadDownAdapter(d, p.adapter_down_dim,
-                                         p.decoder_adapter_multihead_num_head,
-                                         init_std=init_std, dtype=dt,
-                                         name="ff_adapter_multihead")(h)
-        if p.use_hyperformer and block is not None:
-            h = meta(h, block.feed_forward)
-        h = dropout(h, deterministic=deterministic)
-        hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
+        h = act(self.fc1(hidden_states))
+        if self.decoder_ff_ia3_mod is not None:
+            g = self.decoder_ff_ia3_mod()
+            h = h + h * g.astype(h.dtype) if p.use_decoder_ff_ia3_add else h * g.astype(h.dtype)
+        h = self.act_dropout(h, deterministic=deterministic)
+        h = self.fc2(h)
+        if self.ff_adapter is not None:
+            h = self.ff_adapter(h, ctx)
+        elif self.decoder_ff_adapter is not None:
+            h = self.decoder_ff_adapter(h, ctx)
+        elif self.ff_adapter_multihead is not None:
+            h = h + self.ff_adapter_multihead(h)
+        if self.adapter_hypernet is not None and block is not None:
+            h = self.adapter_hypernet(h, block.feed_forward)
+        h = self.dropout(h, deterministic=deterministic)
+        hidden_states = self.final_layer_norm(residual + h)
         return hidden_states, new_cache
+
+    def compute_cross_kv(self, encoder_hidden_states: Array, ctx: PetContext):
+        enc_h = encoder_hidden_states
+        if self.decoder_enc_attn_key_value_adapter is not None:
+            enc_h = self.decoder_enc_attn_key_value_adapter(enc_h, ctx)
+        return self.encoder_attn.compute_cross_kv(enc_h, ctx)
 
 
 # ---------------------------------------------------------------------------
@@ -694,28 +740,35 @@ class BartDecoder(nn.Module):
     def _dtype(self):
         return jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32
 
-    def _stack_hypernet(self):
-        p = self.cfg.pet
-        if not p.use_hyperformer:
-            return None
-        from vlpet_tpu.config import HyperformerSpec
-        hspec = HyperformerSpec(
-            projected_task_embedding_dim=(p.projected_task_embedding_dim
-                                          if p.projected_task_embedding_dim > 0 else 64),
-            unique_hyper_net=p.unique_hyper_net,
-            efficient_unique_hyper_net=p.efficient_unique_hyper_net)
-        spec_kw = dict(
-            d_model=self.cfg.d_model, reduction_factor=p.reduction_factor,
-            num_layers=self.cfg.backbone.decoder_layers,
-            include_cross_attention=p.add_adapter_cross_attn,
-            add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
-            add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
-            dtype=self._dtype, name="adapter_layers_hyper_net")
-        if p.efficient_unique_hyper_net:
-            return AdapterLayersOneHyperNetController(hspec, **spec_kw)
-        return AdapterLayersHyperNetController(hspec, **spec_kw)
+    def setup(self):
+        c = self.cfg
+        b = c.backbone
+        p = c.pet
+        self.embed_positions = self.param("embed_positions", normal_init(b.init_std),
+                                          (b.max_position_embeddings + 2, b.d_model))
+        self.layernorm_embedding = nn.LayerNorm(dtype=self._dtype,
+                                                name="layernorm_embedding")
+        self.emb_dropout = nn.Dropout(rate=b.dropout)
+        self.layers = [BartDecoderLayer(c, i, name=f"layers_{i}")
+                       for i in range(b.decoder_layers)]
+        self.adapter_layers_hyper_net = None
+        if p.use_hyperformer:
+            hspec = HyperformerSpec(
+                projected_task_embedding_dim=(p.projected_task_embedding_dim
+                                              if p.projected_task_embedding_dim > 0 else 64),
+                unique_hyper_net=p.unique_hyper_net,
+                efficient_unique_hyper_net=p.efficient_unique_hyper_net)
+            spec_kw = dict(
+                d_model=c.d_model, reduction_factor=p.reduction_factor,
+                num_layers=b.decoder_layers,
+                include_cross_attention=p.add_adapter_cross_attn,
+                add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+                add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+                dtype=self._dtype, name="adapter_layers_hyper_net")
+            cls = (AdapterLayersOneHyperNetController if p.efficient_unique_hyper_net
+                   else AdapterLayersHyperNetController)
+            self.adapter_layers_hyper_net = cls(hspec, **spec_kw)
 
-    @nn.compact
     def __call__(self, input_ids: Array, shared_embedding: Array,
                  encoder_hidden_states: Optional[Array] = None,
                  encoder_attention_mask: Optional[Array] = None,
@@ -738,8 +791,7 @@ class BartDecoder(nn.Module):
 
         embed_scale = (b.d_model ** 0.5) if b.scale_embedding else 1.0
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt) * embed_scale
-        pos_table = self.param("embed_positions", normal_init(b.init_std),
-                               (b.max_position_embeddings + 2, b.d_model))
+        pos_table = self.embed_positions
         if decode_pos is None:
             h = h + pos_table[2:2 + T].astype(dt)[None]
             self_mask = causal_mask(T, dt)
@@ -753,18 +805,18 @@ class BartDecoder(nn.Module):
             j = jnp.arange(max_len)[None, None, None, :]
             self_mask = jnp.where(j <= decode_pos, 0.0, NEG_INF).astype(dt)
 
-        h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(h)
-        h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
+        h = self.layernorm_embedding(h)
+        h = self.emb_dropout(h, deterministic=deterministic)
 
         cross_mask = None
         if encoder_attention_mask is not None:
             cross_mask = expand_mask(encoder_attention_mask, h.shape[1], dt)
 
-        hypernet = self._stack_hypernet()
         new_cache = []
-        for i in range(b.decoder_layers):
-            block = hypernet(task_embedding, i) if hypernet is not None else None
-            h, layer_cache = BartDecoderLayer(c, i, name=f"layers_{i}")(
+        for i, layer in enumerate(self.layers):
+            block = (self.adapter_layers_hyper_net(task_embedding, i)
+                     if self.adapter_layers_hyper_net is not None else None)
+            h, layer_cache = layer(
                 h, ctx.for_layer(block),
                 encoder_hidden_states=encoder_hidden_states,
                 attention_mask=self_mask,
@@ -780,11 +832,5 @@ class BartDecoder(nn.Module):
         """Precompute per-layer cross-attention K/V (VPA included) once per
         sequence — the reference caches these after the first decode step
         (my_transformers/modeling_bart.py:419-422)."""
-        kvs = []
-        for i in range(self.cfg.backbone.decoder_layers):
-            b = self.cfg.backbone
-            attn = BartAttention(self.cfg, b.d_model, b.decoder_attention_heads,
-                                 b.attention_dropout, is_decoder=True, role="cross",
-                                 name=f"layers_{i}/encoder_attn")
-            kvs.append(attn.compute_cross_kv(encoder_hidden_states, ctx))
-        return tuple(kvs)
+        return tuple(layer.compute_cross_kv(encoder_hidden_states, ctx)
+                     for layer in self.layers)

@@ -1,0 +1,234 @@
+"""VLBart: vision-augmented BART seq2seq with PET.
+
+Reference: src/modeling_bart.py:1296-1681 (VLBartModel/VLBart) — joint
+encoder, decoder with [text; vis] cross-attention mask, tied lm_head +
+final_logits_bias, per-token (reduction='none') or reduced CE with -100
+masking, optional lm-head output adapter, shared Compacter PHM rule.
+
+Generation here is staged for XLA: ``encode`` runs once, ``init_decode``
+precomputes per-layer cross-attention K/V (VPA included, matching the
+reference's first-step caching, my_transformers/modeling_bart.py:419-422),
+and ``decode_step`` is the per-token jittable body driven by
+vlpet_tpu.models.generate.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vlpet_tpu.config import VLModelConfig
+from vlpet_tpu.models.bart import BartDecoder, JointEncoder, expand_mask
+from vlpet_tpu.pet.hypernet import TaskEmbeddingController
+from vlpet_tpu.pet.modules import OutputParallelAdapterLayer, PetContext, normal_init
+from vlpet_tpu.config import HyperformerSpec
+
+Array = jax.Array
+
+
+def shift_tokens_right(labels: Array, pad_token_id: int,
+                       decoder_start_token_id: int) -> Array:
+    """Reference: my_transformers/modeling_bart.py:77-88 — shift right, put
+    decoder_start first, replace -100 with pad."""
+    shifted = jnp.roll(labels, 1, axis=-1)
+    shifted = shifted.at[:, 0].set(decoder_start_token_id)
+    return jnp.where(shifted == -100, pad_token_id, shifted)
+
+
+class VLBartModel(nn.Module):
+    """Encoder-decoder glue (reference: src/modeling_bart.py:1296-1455)."""
+
+    cfg: VLModelConfig
+
+    def setup(self):
+        c = self.cfg
+        b = c.backbone
+        self.shared = self.param("shared", normal_init(b.init_std),
+                                 (b.vocab_size, b.d_model))
+        self.encoder = JointEncoder(c, name="encoder")
+        self.decoder = BartDecoder(c, name="decoder")
+        if c.pet.use_hyperformer:
+            hspec = HyperformerSpec(
+                projected_task_embedding_dim=(c.pet.projected_task_embedding_dim
+                                              if c.pet.projected_task_embedding_dim > 0
+                                              else 64))
+            self.shared_task_embed = TaskEmbeddingController(
+                hspec, tasks=c.pet.tasks, name="shared_task_embed")
+        else:
+            self.shared_task_embed = None
+
+    def _task_embedding(self, ctx: PetContext):
+        if self.shared_task_embed is None:
+            return None
+        return self.shared_task_embed(ctx.task_idx)
+
+    def encode(self, input_ids, attention_mask, vis_feats=None, boxes=None,
+               img_order_ids=None, obj_order_ids=None, vis_attention_mask=None,
+               ctx: PetContext = None, deterministic: bool = True):
+        ctx = ctx or PetContext()
+        return self.encoder(
+            input_ids, attention_mask, self.shared,
+            vis_feats=vis_feats, boxes=boxes,
+            img_order_ids=img_order_ids, obj_order_ids=obj_order_ids,
+            vis_attention_mask=vis_attention_mask, ctx=ctx,
+            task_embedding=self._task_embedding(ctx),
+            deterministic=deterministic)
+
+    def decode(self, decoder_input_ids, encoder_hidden_states, joint_mask,
+               decoder_attention_mask=None, ctx: PetContext = None,
+               cross_kvs=None, cache=None, decode_pos=None,
+               deterministic: bool = True):
+        ctx = ctx or PetContext()
+        return self.decoder(
+            decoder_input_ids, self.shared,
+            encoder_hidden_states=encoder_hidden_states,
+            encoder_attention_mask=joint_mask,
+            decoder_attention_mask=decoder_attention_mask,
+            ctx=ctx, task_embedding=self._task_embedding(ctx),
+            cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
+            deterministic=deterministic)
+
+    def compute_cross_kvs(self, encoder_hidden_states, ctx: PetContext):
+        return self.decoder.compute_cross_kvs(encoder_hidden_states, ctx)
+
+    def __call__(self, input_ids, attention_mask, decoder_input_ids,
+                 vis_feats=None, boxes=None, img_order_ids=None,
+                 obj_order_ids=None, vis_attention_mask=None,
+                 decoder_attention_mask=None, ctx: PetContext = None,
+                 deterministic: bool = True):
+        ctx = ctx or PetContext()
+        enc_out, joint_mask = self.encode(
+            input_ids, attention_mask, vis_feats, boxes, img_order_ids,
+            obj_order_ids, vis_attention_mask, ctx, deterministic)
+        dec_out, _ = self.decode(decoder_input_ids, enc_out, joint_mask,
+                                 decoder_attention_mask, ctx,
+                                 deterministic=deterministic)
+        return dec_out, enc_out, joint_mask
+
+
+class VLBart(nn.Module):
+    """Seq2seq LM head over VLBartModel (reference: src/modeling_bart.py:1458-1681).
+
+    lm_head is tied to the shared embedding (HF tie_word_embeddings);
+    final_logits_bias is a frozen buffer-like parameter.
+    """
+
+    cfg: VLModelConfig
+
+    def setup(self):
+        c = self.cfg
+        self.model = VLBartModel(c, name="model")
+        self.final_logits_bias = self.param(
+            "final_logits_bias", nn.initializers.zeros, (1, c.backbone.vocab_size))
+        if c.pet.use_lm_head_adapter:
+            self.output_adapter = OutputParallelAdapterLayer(
+                c.d_model, c.backbone.vocab_size, init_std=c.backbone.init_std,
+                name="output_adapter")
+        else:
+            self.output_adapter = None
+        # shared Compacter PHM rule (reference: modeling_bart.py:1479-1520)
+        if (c.pet.use_compacter and c.pet.shared_phm_rule):
+            pd = c.pet.hypercomplex_division
+            self.phm_rule = self.param("phm_rule",
+                                       normal_init(c.pet.phm_init_range),
+                                       (pd, pd, pd))
+        else:
+            self.phm_rule = None
+
+    def _ctx(self, ctx: Optional[PetContext]) -> PetContext:
+        ctx = ctx or PetContext()
+        if self.phm_rule is not None and ctx.phm_rule is None:
+            import dataclasses
+            ctx = dataclasses.replace(ctx, phm_rule=self.phm_rule)
+        return ctx
+
+    def _logits(self, dec_out: Array) -> Array:
+        logits = jnp.einsum("btd,vd->btv", dec_out,
+                            self.model.shared.astype(dec_out.dtype))
+        logits = logits.astype(jnp.float32) + self.final_logits_bias
+        if self.output_adapter is not None:
+            logits = logits + self.output_adapter(dec_out).astype(jnp.float32)
+        return logits
+
+    def __call__(self, input_ids, attention_mask, vis_feats=None, boxes=None,
+                 img_order_ids=None, obj_order_ids=None,
+                 vis_attention_mask=None, labels=None, decoder_input_ids=None,
+                 decoder_attention_mask=None, ctx: PetContext = None,
+                 deterministic: bool = True, reduce_loss: bool = False,
+                 output_hidden_states: bool = False) -> Dict[str, Any]:
+        c = self.cfg
+        ctx = self._ctx(ctx)
+        if decoder_input_ids is None and labels is not None:
+            decoder_input_ids = shift_tokens_right(
+                labels, c.backbone.pad_token_id, c.backbone.decoder_start_token_id)
+        dec_out, enc_out, joint_mask = self.model(
+            input_ids, attention_mask, decoder_input_ids,
+            vis_feats=vis_feats, boxes=boxes, img_order_ids=img_order_ids,
+            obj_order_ids=obj_order_ids, vis_attention_mask=vis_attention_mask,
+            decoder_attention_mask=decoder_attention_mask,
+            ctx=ctx, deterministic=deterministic)
+        logits = self._logits(dec_out)
+        out = {"logits": logits, "encoder_last_hidden_state": enc_out}
+        if output_hidden_states:
+            out["decoder_last_hidden_state"] = dec_out
+        if labels is not None:
+            out["loss"] = cross_entropy_with_ignore(logits, labels,
+                                                    reduce=reduce_loss)
+        return out
+
+    # --- generation-facing methods (used via apply(..., method=...)) --------
+
+    def encode(self, input_ids, attention_mask, vis_feats=None, boxes=None,
+               img_order_ids=None, obj_order_ids=None, vis_attention_mask=None,
+               ctx: PetContext = None):
+        ctx = self._ctx(ctx)
+        enc_out, joint_mask = self.model.encode(
+            input_ids, attention_mask, vis_feats, boxes, img_order_ids,
+            obj_order_ids, vis_attention_mask, ctx, deterministic=True)
+        return enc_out, joint_mask
+
+    def init_decode(self, encoder_hidden_states, ctx: PetContext = None):
+        """Precompute cross-attention K/V for every decoder layer."""
+        ctx = self._ctx(ctx)
+        return self.model.compute_cross_kvs(encoder_hidden_states, ctx)
+
+    def decode_step(self, decoder_input_ids, joint_mask, cross_kvs, cache,
+                    decode_pos, ctx: PetContext = None):
+        """One decode step: decoder_input_ids (B, 1) at position decode_pos.
+        Returns (logits (B, vocab), new_cache)."""
+        ctx = self._ctx(ctx)
+        dec_out, new_cache = self.model.decode(
+            decoder_input_ids, None, joint_mask, ctx=ctx,
+            cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
+            deterministic=True)
+        return self._logits(dec_out)[:, -1, :], new_cache
+
+    def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
+                     ctx: PetContext = None, deterministic: bool = True):
+        """Full teacher-forced decode (used by NLVR scoring and prefill)."""
+        ctx = self._ctx(ctx)
+        dec_out, _ = self.model.decode(decoder_input_ids, encoder_hidden_states,
+                                       joint_mask, ctx=ctx,
+                                       deterministic=deterministic)
+        return self._logits(dec_out)
+
+
+def cross_entropy_with_ignore(logits: Array, labels: Array,
+                              reduce: bool = False) -> Array:
+    """CE with ignore_index=-100 (reference: modeling_bart.py:1580-1586).
+
+    reduce=False → per-token losses (B, T) with 0 at ignored positions
+    (the reference returns flat per-token losses; task heads re-mask anyway).
+    reduce=True  → mean over non-ignored tokens.
+    """
+    valid = labels != -100
+    safe_labels = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    nll = -jnp.take_along_axis(logp, safe_labels[..., None], axis=-1)[..., 0]
+    nll = jnp.where(valid, nll, 0.0)
+    if reduce:
+        return nll.sum() / jnp.maximum(valid.sum(), 1)
+    return nll
