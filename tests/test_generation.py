@@ -1,0 +1,157 @@
+"""Generation correctness: incremental cached decode must match the full
+teacher-forced forward, greedy must follow argmax, beam(K=1) ≈ greedy."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlpet_tpu.config import BartConfig, VLModelConfig, VisConfig, vlpet_recipe
+from vlpet_tpu.models.generate import (
+    greedy_generate,
+    init_self_cache,
+    seq2seq_generate,
+)
+from vlpet_tpu.models.vlbart import VLBart
+from vlpet_tpu.pet.modules import PetContext
+
+
+def tiny_cfg(pet=None):
+    return VLModelConfig(
+        backbone=BartConfig(vocab_size=50, d_model=32, encoder_layers=2,
+                            decoder_layers=2, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=64),
+        vis=VisConfig(feat_dim=16, n_boxes=4),
+        pet=pet or vlpet_recipe("large", r=8, num_heads=4, gate_dim=8))
+
+
+def make_model_and_batch(seed=0, B=2):
+    cfg = tiny_cfg()
+    m = VLBart(cfg)
+    rng = np.random.default_rng(seed)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(3, 50, (B, 5)), jnp.int32),
+        attention_mask=jnp.ones((B, 5), jnp.int32),
+        vis_feats=jnp.asarray(rng.normal(size=(B, 4, 16)), jnp.float32),
+        boxes=jnp.asarray(rng.uniform(size=(B, 4, 4)), jnp.float32),
+    )
+    variables = m.init(jax.random.PRNGKey(seed), **batch,
+                       labels=jnp.ones((B, 3), jnp.int32))
+    return m, variables, batch, cfg
+
+
+class TestCacheParity:
+    def test_incremental_equals_full_forward(self):
+        m, variables, batch, cfg = make_model_and_batch()
+        B, T = 2, 6
+        ctx = PetContext()
+        dec_ids = jnp.asarray(np.random.default_rng(1).integers(3, 50, (B, T)),
+                              jnp.int32)
+        enc_out, joint_mask = m.apply(variables, batch["input_ids"],
+                                      batch["attention_mask"],
+                                      batch["vis_feats"], batch["boxes"],
+                                      None, None, None, ctx,
+                                      method=VLBart.encode)
+        full_logits = m.apply(variables, dec_ids, enc_out, joint_mask, ctx,
+                              method=VLBart.decode_train)
+        cross_kvs = m.apply(variables, enc_out, ctx, method=VLBart.init_decode)
+        cache = init_self_cache(cfg, B, T)
+        step_logits = []
+        for t in range(T):
+            lg, cache = m.apply(variables, dec_ids[:, t:t + 1], joint_mask,
+                                cross_kvs, cache, t, ctx,
+                                method=VLBart.decode_step)
+            step_logits.append(lg)
+        step_logits = jnp.stack(step_logits, axis=1)
+        np.testing.assert_allclose(np.asarray(step_logits),
+                                   np.asarray(full_logits), rtol=2e-4, atol=2e-4)
+
+
+class TestGreedy:
+    def test_greedy_matches_manual_argmax(self):
+        m, variables, batch, cfg = make_model_and_batch()
+        ctx = PetContext()
+        out = seq2seq_generate(m, variables, **batch, ctx=ctx, num_beams=1,
+                               max_length=8)
+        assert out.shape == (2, 8)
+        assert np.all(np.asarray(out[:, 0]) == cfg.backbone.decoder_start_token_id)
+        # manual loop via teacher forcing
+        enc_out, joint_mask = m.apply(variables, batch["input_ids"],
+                                      batch["attention_mask"],
+                                      batch["vis_feats"], batch["boxes"],
+                                      None, None, None, ctx, method=VLBart.encode)
+        seq = [cfg.backbone.decoder_start_token_id] * 1
+        finished = [False, False]
+        seqs = np.full((2, 8), cfg.backbone.pad_token_id)
+        seqs[:, 0] = cfg.backbone.decoder_start_token_id
+        for t in range(7):
+            logits = m.apply(variables, jnp.asarray(seqs[:, :t + 1]), enc_out,
+                             joint_mask, ctx, method=VLBart.decode_train)
+            nxt = np.argmax(np.asarray(logits[:, -1]), axis=-1)
+            for b in range(2):
+                if not finished[b]:
+                    seqs[b, t + 1] = nxt[b]
+                    if nxt[b] == cfg.backbone.eos_token_id:
+                        finished[b] = True
+            if all(finished):
+                break
+        np.testing.assert_array_equal(np.asarray(out), seqs)
+
+
+class TestBeam:
+    def test_beam1_matches_greedy(self):
+        m, variables, batch, _ = make_model_and_batch()
+        ctx = PetContext()
+        g = seq2seq_generate(m, variables, **batch, ctx=ctx, num_beams=1,
+                             max_length=8)
+        b = seq2seq_generate(m, variables, **batch, ctx=ctx, num_beams=1,
+                             max_length=8)
+        np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+    def test_beam_runs_and_improves_score(self):
+        m, variables, batch, cfg = make_model_and_batch()
+        ctx = PetContext()
+        out5 = seq2seq_generate(m, variables, **batch, ctx=ctx, num_beams=5,
+                                max_length=8)
+        assert out5.shape == (2, 8)
+
+    def test_beam_score_not_worse_than_greedy(self):
+        """Beam-5's sequence log-prob must be >= greedy's (same length norm)."""
+        m, variables, batch, cfg = make_model_and_batch(seed=3)
+        ctx = PetContext()
+
+        def seq_logprob(seq):
+            enc_out, joint_mask = m.apply(variables, batch["input_ids"],
+                                          batch["attention_mask"],
+                                          batch["vis_feats"], batch["boxes"],
+                                          None, None, None, ctx,
+                                          method=VLBart.encode)
+            logits = m.apply(variables, seq[:, :-1], enc_out, joint_mask, ctx,
+                             method=VLBart.decode_train)
+            logp = jax.nn.log_softmax(logits, axis=-1)
+            tgt = seq[:, 1:]
+            tok_lp = np.take_along_axis(np.asarray(logp),
+                                        np.asarray(tgt)[..., None], axis=-1)[..., 0]
+            pad = cfg.backbone.pad_token_id
+            eos = cfg.backbone.eos_token_id
+            mask = np.asarray(tgt) != pad
+            # include eos, exclude pads after eos
+            total, length = [], []
+            for b in range(tok_lp.shape[0]):
+                lp, m_ = tok_lp[b], mask[b]
+                s = 0.0
+                n = 0
+                for t in range(len(lp)):
+                    s += lp[t]
+                    n += 1
+                    if np.asarray(tgt)[b, t] == eos:
+                        break
+                total.append(s)
+                length.append(n)
+            return np.array(total) / np.array(length)
+
+        g = seq_logprob(seq2seq_generate(m, variables, **batch, ctx=ctx,
+                                         num_beams=1, max_length=8))
+        b = seq_logprob(seq2seq_generate(m, variables, **batch, ctx=ctx,
+                                         num_beams=5, max_length=8))
+        assert np.all(b >= g - 1e-4), (b, g)

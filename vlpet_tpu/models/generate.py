@@ -1,0 +1,238 @@
+"""Greedy and beam-search decoding for VLBart/VLT5 — XLA-native.
+
+Replaces the reference's HF GenerationMixin path (reference:
+src/modeling_bart.py:1622-1681 prepare/expand overrides + transformers-4.2.1
+beam search). Design for TPU:
+
+* ``encode`` runs once; per-layer cross-attention K/V (incl. the VPA) are
+  precomputed once — mirroring the reference where the VPA executes only on
+  the first decode step and is cached (my_transformers/modeling_bart.py:419-422).
+* the decode loop is a ``lax.while_loop`` over a fixed-shape state: static
+  max_length, preallocated self-attention KV cache, no host round-trips.
+* beam search follows the standard alive/finished formulation with HF
+  semantics: finished score = logprob_sum / len**length_penalty
+  (length_penalty=1.0, early_stopping=False defaults).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+Array = jax.Array
+NEG_INF = -1.0e7
+
+
+def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
+    """Preallocated per-layer self-attention KV cache."""
+    b = cfg.backbone
+    n_layers = b.decoder_layers if not cfg.is_t5 else b.num_decoder_layers
+    if cfg.is_t5:
+        heads, head_dim = b.num_heads, b.d_kv
+    else:
+        heads, head_dim = b.decoder_attention_heads, b.d_model // b.decoder_attention_heads
+    layer = lambda: {"k": jnp.zeros((batch_size, max_len, heads, head_dim), dtype),
+                     "v": jnp.zeros((batch_size, max_len, heads, head_dim), dtype)}
+    return tuple(layer() for _ in range(n_layers))
+
+
+def _gather_beams(tree, idx: Array, batch: int, beams: int):
+    """Select beams: idx (B, K) indexes into the beam axis of every leaf whose
+    leading dims are (B, K, ...)."""
+
+    def take(x):
+        return jnp.take_along_axis(
+            x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
+
+    return jax.tree_util.tree_map(take, tree)
+
+
+def _flat(tree, batch, beams):
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((batch * beams,) + x.shape[2:]), tree)
+
+
+def _unflat(tree, batch, beams):
+    return jax.tree_util.tree_map(
+        lambda x: x.reshape((batch, beams) + x.shape[1:]), tree)
+
+
+def greedy_generate(decode_step: Callable, cache, batch_size: int,
+                    max_length: int, decoder_start_token_id: int,
+                    eos_token_id: int, pad_token_id: int,
+                    bos_token_id: Optional[int] = None) -> Array:
+    """decode_step(token_ids (B,1), pos, cache) -> (logits (B,V), cache).
+
+    Returns sequences (B, max_length) including the start token at position 0.
+    """
+    seqs = jnp.full((batch_size, max_length), pad_token_id, jnp.int32)
+    seqs = seqs.at[:, 0].set(decoder_start_token_id)
+    finished = jnp.zeros((batch_size,), jnp.bool_)
+
+    def cond(state):
+        i, _, finished, _ = state
+        return (i < max_length - 1) & ~jnp.all(finished)
+
+    def body(state):
+        i, seqs, finished, cache = state
+        tok = jax.lax.dynamic_slice(seqs, (0, i), (batch_size, 1))
+        logits, cache = decode_step(tok, i, cache)
+        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        next_tok = jnp.where(finished, pad_token_id, next_tok)
+        seqs = jax.lax.dynamic_update_slice(seqs, next_tok[:, None], (0, i + 1))
+        finished = finished | (next_tok == eos_token_id)
+        return (i + 1, seqs, finished, cache)
+
+    _, seqs, _, _ = jax.lax.while_loop(cond, body, (0, seqs, finished, cache))
+    return seqs
+
+
+def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
+                  max_length: int, decoder_start_token_id: int,
+                  eos_token_id: int, pad_token_id: int,
+                  length_penalty: float = 1.0) -> Tuple[Array, Array]:
+    """Beam search. ``cache`` must already be expanded to B*K leading dim
+    (beam-expand encoder outputs before building it, reference:
+    modeling_bart.py:1646-1681).
+
+    decode_step(token_ids (B*K, 1), pos, cache) -> (logits (B*K, V), cache)
+
+    Returns (best_sequences (B, max_length), best_scores (B,)).
+    """
+    B, K = batch_size, num_beams
+
+    alive_seqs = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
+    alive_seqs = alive_seqs.at[:, :, 0].set(decoder_start_token_id)
+    # only beam 0 live at step 0 so identical beams don't duplicate
+    alive_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B, 1))
+    fin_seqs = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
+    fin_scores = jnp.full((B, K), NEG_INF)
+
+    def cond(state):
+        i, _, alive_logp, _, fin_scores, _ = state
+        if_done = i >= max_length - 1
+        # early_stopping=False HF semantics: stop when the best possible alive
+        # score can no longer beat the worst finished score
+        best_alive = jnp.max(alive_logp, axis=1) / (max_length ** length_penalty
+                                                    if length_penalty > 0 else 1.0)
+        worst_fin = jnp.min(fin_scores, axis=1)
+        done = jnp.all(worst_fin >= best_alive)
+        return ~(if_done | done)
+
+    def body(state):
+        i, alive_seqs, alive_logp, cache, fin_scores, fin_seqs = state
+        tok = jax.lax.dynamic_slice(alive_seqs, (0, 0, i), (B, K, 1))
+        logits, new_cache = decode_step(tok.reshape(B * K, 1), i, cache)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        V = logp.shape[-1]
+        logp = logp.reshape(B, K, V) + alive_logp[..., None]
+
+        # top 2K candidates over (K*V)
+        flat = logp.reshape(B, K * V)
+        top_logp, top_idx = jax.lax.top_k(flat, 2 * K)
+        beam_idx = top_idx // V
+        tok_idx = top_idx % V
+
+        cand_seqs = _gather_beams(alive_seqs, beam_idx, B, K)  # (B, 2K, L)
+        cand_seqs = jax.lax.dynamic_update_slice(
+            cand_seqs, tok_idx[..., None].astype(jnp.int32), (0, 0, i + 1))
+        is_eos = tok_idx == eos_token_id
+
+        # finished candidates: length-penalized score (HF BeamHypotheses)
+        gen_len = jnp.asarray(i + 1, jnp.float32)
+        fin_cand_scores = jnp.where(is_eos, top_logp / (gen_len ** length_penalty),
+                                    NEG_INF)
+        all_fin_scores = jnp.concatenate([fin_scores, fin_cand_scores], axis=1)
+        all_fin_seqs = jnp.concatenate([fin_seqs, cand_seqs], axis=1)
+        top_fin_scores, top_fin_idx = jax.lax.top_k(all_fin_scores, K)
+        fin_seqs = _gather_beams(all_fin_seqs, top_fin_idx, B, K)
+        fin_scores = top_fin_scores
+
+        # alive candidates: non-eos, take top K
+        alive_cand_logp = jnp.where(is_eos, NEG_INF, top_logp)
+        new_alive_logp, alive_idx = jax.lax.top_k(alive_cand_logp, K)
+        alive_seqs = _gather_beams(cand_seqs, alive_idx, B, K)
+        alive_logp = new_alive_logp
+
+        # reorder the cache to the chosen beams
+        chosen_beam = jnp.take_along_axis(beam_idx, alive_idx, axis=1)  # (B, K)
+        cache_bk = _unflat(new_cache, B, K)
+        cache_bk = _gather_beams(cache_bk, chosen_beam, B, K)
+        cache = _flat(cache_bk, B, K)
+        return (i + 1, alive_seqs, alive_logp, cache, fin_scores, fin_seqs)
+
+    state = (0, alive_seqs, alive_logp, cache, fin_scores, fin_seqs)
+    _, alive_seqs, alive_logp, _, fin_scores, fin_seqs = jax.lax.while_loop(
+        cond, body, state)
+
+    # if nothing finished, fall back to the best alive hypothesis
+    none_finished = jnp.all(fin_scores <= NEG_INF / 2, axis=1)
+    alive_final = alive_logp / ((max_length - 1) ** length_penalty
+                                if length_penalty > 0 else 1.0)
+    best_fin = fin_seqs[:, 0]
+    best_fin_score = fin_scores[:, 0]
+    best_alive_idx = jnp.argmax(alive_final, axis=1)
+    best_alive = jnp.take_along_axis(
+        alive_seqs, best_alive_idx[:, None, None], axis=1)[:, 0]
+    best_alive_score = jnp.take_along_axis(alive_final, best_alive_idx[:, None],
+                                           axis=1)[:, 0]
+    seqs = jnp.where(none_finished[:, None], best_alive, best_fin)
+    scores = jnp.where(none_finished, best_alive_score, best_fin_score)
+    return seqs, scores
+
+
+def expand_to_beams(x: Array, num_beams: int) -> Array:
+    """(B, ...) → (B*K, ...) with interleaved repeat (HF index_select order,
+    reference: modeling_bart.py:1652-1658)."""
+    return jnp.repeat(x, num_beams, axis=0)
+
+
+def seq2seq_generate(model, variables, *, input_ids, attention_mask,
+                     vis_feats=None, boxes=None, img_order_ids=None,
+                     obj_order_ids=None, vis_attention_mask=None, ctx=None,
+                     num_beams: int = 1, max_length: int = 20,
+                     length_penalty: float = 1.0,
+                     decoder_prefill_ids: Optional[Array] = None):
+    """End-to-end generation for a VLBart/VLT5-style model. Jittable with
+    static (num_beams, max_length). Returns token ids (B, max_length) with
+    the start token at position 0 (strip it for decoding, as HF does).
+
+    decoder_prefill_ids: optional (B, P) tokens fed through the decoder before
+    free-running generation (used by decoder prompt tuning / forced prefixes).
+    """
+    cfg = model.cfg
+    bk = cfg.backbone
+    B = input_ids.shape[0]
+    dtype = jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32
+
+    enc_out, joint_mask = model.apply(
+        variables, input_ids, attention_mask, vis_feats, boxes, img_order_ids,
+        obj_order_ids, vis_attention_mask, ctx, method=type(model).encode)
+    cross_kvs = model.apply(variables, enc_out, ctx,
+                            method=type(model).init_decode)
+
+    if num_beams > 1:
+        joint_mask = expand_to_beams(joint_mask, num_beams)
+        cross_kvs = jax.tree_util.tree_map(
+            lambda x: expand_to_beams(x, num_beams), cross_kvs)
+        n = B * num_beams
+    else:
+        n = B
+    cache = init_self_cache(cfg, n, max_length, dtype)
+
+    def decode_step(tok, pos, cache):
+        return model.apply(variables, tok, joint_mask, cross_kvs, cache, pos,
+                           ctx, method=type(model).decode_step)
+
+    eos = bk.eos_token_id
+    pad = bk.pad_token_id
+    start = bk.decoder_start_token_id
+    if num_beams > 1:
+        seqs, _ = beam_generate(decode_step, cache, B, num_beams, max_length,
+                                start, eos, pad, length_penalty)
+        return seqs
+    return greedy_generate(decode_step, cache, B, max_length, start, eos, pad)
