@@ -1,0 +1,101 @@
+"""Mesh + sharding rules.
+
+The reference's distributed layer is NCCL DDP only (reference:
+src/multitask.py:134-138, dist_utils.py). The TPU-native equivalent
+(SURVEY.md §2.10): a ('data', 'model') jax.sharding.Mesh where
+
+* batch arrays shard over 'data' (DDP equivalent — XLA inserts the gradient
+  psum over ICI that NCCL all-reduce did),
+* large parameter matrices optionally shard over 'model' (tensor parallelism
+  the reference never had but the mesh leaves room for, as SURVEY.md
+  prescribes): embeddings/lm_head shard the vocab axis, FFN kernels shard the
+  hidden axis, attention projections shard heads.
+
+BART/T5-base fit on one chip, so model=1 is the default; dryrun_multichip
+exercises data×model to validate the sharding compiles and runs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import re
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclasses.dataclass(frozen=True)
+class MeshConfig:
+    data: int = -1   # -1 = all remaining devices
+    model: int = 1
+
+
+def build_mesh(cfg: MeshConfig = MeshConfig(), devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    model = max(1, cfg.model)
+    data = cfg.data if cfg.data > 0 else n // model
+    assert data * model == n, f"mesh {data}x{model} != {n} devices"
+    dev_array = np.asarray(devices).reshape(data, model)
+    return Mesh(dev_array, axis_names=("data", "model"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+# Parameter partition rules: (path regex, PartitionSpec). First match wins.
+# Specs are axis names per tensor dim; None = replicated dim.
+_PARAM_RULES: Tuple[Tuple[str, Any], ...] = (
+    # embeddings: shard vocab over 'model'
+    (r"(^|\.)shared$", P("model", None)),
+    (r"embed_positions$", P(None, None)),
+    (r"lm_head\.kernel$", P(None, "model")),
+    # attention projections: shard the head (output) axis
+    (r"(self_attn|encoder_attn|cross_attn)\.(q_proj|k_proj|v_proj|q|k|v)\.kernel$",
+     P(None, "model")),
+    (r"(self_attn|encoder_attn|cross_attn)\.(out_proj|o)\.kernel$", P("model", None)),
+    (r"(self_attn|encoder_attn|cross_attn)\.(q_proj|k_proj|v_proj)\.bias$", P("model")),
+    # FFN: wi shards hidden-out, wo shards hidden-in
+    (r"fc1\.kernel$|\.wi(_0|_1)?\.kernel$", P(None, "model")),
+    (r"fc1\.bias$", P("model")),
+    (r"fc2\.kernel$|\.wo\.kernel$", P("model", None)),
+    # everything else (LayerNorms, adapters, gates, biases): replicated —
+    # PET tensors are tiny; replication keeps their collectives off the
+    # critical path
+)
+
+
+def param_shardings(params, mesh: Mesh):
+    """A NamedSharding pytree for the param tree following _PARAM_RULES.
+
+    When mesh has model=1 every rule degenerates to replication (specs with
+    'model' over an axis of size 1 are valid and free).
+    """
+    rules = [(re.compile(pat), spec) for pat, spec in _PARAM_RULES]
+
+    def decide(path, leaf):
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        for pat, spec in rules:
+            if pat.search(name):
+                # only shard if divisible; fall back to replication otherwise
+                ok = True
+                for dim, axis in enumerate(spec):
+                    if axis is None:
+                        continue
+                    size = mesh.shape[axis]
+                    if dim >= leaf.ndim or leaf.shape[dim] % size != 0:
+                        ok = False
+                if ok and leaf.ndim >= len([s for s in spec]):
+                    return NamedSharding(mesh, spec)
+                return NamedSharding(mesh, P())
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(decide, params)

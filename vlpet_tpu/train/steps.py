@@ -1,0 +1,125 @@
+"""Jittable train/eval steps over a device mesh.
+
+Reference control flow: src/multitask.py:229-300 (forward → loss →
+backward → clip 5 → AdamW → linear schedule). TPU design:
+
+* one compiled step per task (static task id — the reference's per-task
+  Python dispatch becomes a jit cache entry per task);
+* gradients are taken ONLY w.r.t. the trainable subtree; frozen params enter
+  as a separate argument, so XLA constant-folds/never differentiates them and
+  optimizer state is param%-sized;
+* under a ('data','model') mesh, batch args shard over 'data' — XLA inserts
+  the gradient psum over ICI (NCCL all-reduce equivalent);
+* the train state is donated, keeping HBM flat.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from vlpet_tpu.models.heads import task_loss
+from vlpet_tpu.pet.modules import PetContext
+from vlpet_tpu.train.freezing import merge_params
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: Any          # trainable subtree (None placeholders elsewhere)
+    opt_state: Any
+
+    @classmethod
+    def create(cls, trainable_params, tx):
+        return cls(step=jnp.zeros((), jnp.int32), params=trainable_params,
+                   opt_state=tx.init(trainable_params))
+
+
+def make_train_step(model, tx, tasks: Tuple[str, ...], lambda_z: float = 0.0):
+    """Returns train_step(state, frozen, batch, rng, task_idx) → (state, metrics).
+
+    ``task_idx`` is static; batch is a dict with input_ids, attention_mask,
+    vis_feats, boxes, target_ids, optional scores/img_order_ids/obj_order_ids.
+    """
+
+    @partial(jax.jit, static_argnums=(4,), donate_argnums=(0,))
+    def train_step(state: TrainState, frozen, batch: Dict[str, Any], rng,
+                   task_idx: int):
+        task = tasks[task_idx]
+        ctx = PetContext(task=task, task_idx=task_idx)
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, frozen)
+            out = model.apply(
+                {"params": params},
+                batch["input_ids"], batch["attention_mask"],
+                vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
+                img_order_ids=batch.get("img_order_ids"),
+                obj_order_ids=batch.get("obj_order_ids"),
+                vis_attention_mask=batch.get("vis_attention_mask"),
+                labels=batch["target_ids"], ctx=ctx, deterministic=False,
+                rngs={"dropout": rng})
+            loss = task_loss(task, out["loss"], batch["target_ids"],
+                             batch.get("scores"))
+            return loss
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {
+            "loss": loss,
+            "grad_norm": optax.global_norm(grads),
+        }
+        return TrainState(step=state.step + 1, params=new_params,
+                          opt_state=new_opt_state), metrics
+
+    return train_step
+
+
+def make_eval_loss_step(model, tasks: Tuple[str, ...]):
+    @partial(jax.jit, static_argnums=(3,))
+    def eval_step(params, frozen, batch, task_idx: int):
+        task = tasks[task_idx]
+        ctx = PetContext(task=task, task_idx=task_idx)
+        merged = merge_params(params, frozen)
+        out = model.apply(
+            {"params": merged},
+            batch["input_ids"], batch["attention_mask"],
+            vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
+            img_order_ids=batch.get("img_order_ids"),
+            obj_order_ids=batch.get("obj_order_ids"),
+            vis_attention_mask=batch.get("vis_attention_mask"),
+            labels=batch["target_ids"], ctx=ctx, deterministic=True)
+        return task_loss(task, out["loss"], batch["target_ids"],
+                         batch.get("scores")), out["logits"]
+
+    return eval_step
+
+
+def make_nlvr_score_step(model, tasks: Tuple[str, ...], true_token_id: int,
+                         false_token_id: int, position: int):
+    """NLVR never generates: one forward with fixed decoder input, compare
+    true/false logits (reference: nlvr_model.py:240-258)."""
+    from vlpet_tpu.models.heads import nlvr_predict
+
+    @partial(jax.jit, static_argnums=(3,))
+    def score_step(params, frozen, batch, task_idx: int):
+        task = tasks[task_idx]
+        ctx = PetContext(task=task, task_idx=task_idx)
+        merged = merge_params(params, frozen)
+        out = model.apply(
+            {"params": merged},
+            batch["input_ids"], batch["attention_mask"],
+            vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
+            img_order_ids=batch.get("img_order_ids"),
+            obj_order_ids=batch.get("obj_order_ids"),
+            decoder_input_ids=batch["decoder_input_ids"],
+            ctx=ctx, deterministic=True)
+        return nlvr_predict(out["logits"], true_token_id, false_token_id, position)
+
+    return score_step
