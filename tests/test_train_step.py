@@ -89,6 +89,7 @@ def test_task_routing_uses_distinct_jit_entries():
     state = TrainState.create(trainable, tx)
     step = make_train_step(m, tx, TASKS)
     rng = jax.random.PRNGKey(0)
-    s1, m1 = step(state, frozen, batch, rng, 0)  # vqa: score-weighted
-    s2, m2 = step(state, frozen, batch, rng, 1)  # caption: reduced CE
+    # the step donates its input state, so chain them
+    state, m1 = step(state, frozen, batch, rng, 0)  # vqa: score-weighted
+    state, m2 = step(state, frozen, batch, rng, 1)  # caption: reduced CE
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
