@@ -1,0 +1,80 @@
+"""Benchmark: fine-tune throughput of the flagship config on one TPU chip.
+
+Measures examples/sec of the full training step (forward + backward + clip +
+AdamW) for BART-base + VL-PET-large multitask image-text — the BASELINE.json
+headline config — with the published recipe shapes (batch 500, 20 text
+tokens, 36 visual boxes @2048-d, 10 target tokens; scripts/image-text/
+VL-PET-large.sh).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline denominator: the reference publishes no throughput (SURVEY.md
+§6). The A100 estimate below is derived, not measured: the published recipe
+runs torch-1.8 eager fp32 (no --fp16 in scripts). Per-example FLOPs ≈
+3 × 2 × N_matmul × T with N_matmul ≈ 110M matmul params and T ≈ 66 tokens
+→ ≈ 44 GFLOP/example; A100 fp32 peak 19.5 TF at a generous 35% utilization
+for eager fp32 → ≈ 6.8 TF/s → ≈ 155 examples/sec. We use 155.
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_EST_EX_PER_SEC = 155.0
+
+
+def main():
+    from __graft_entry__ import _batch, _flagship_cfg
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+    from vlpet_tpu.train.freezing import split_params, trainable_mask
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    import dataclasses
+    cfg, tasks = _flagship_cfg()
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")  # MXU-native compute
+    model = VLBart(cfg)
+
+    B = 500  # published recipe batch size (scripts/image-text/VL-PET-large.sh)
+    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
+        vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+        labels=batch["target_ids"], ctx=PetContext())["params"])()
+    mask = trainable_mask(params, cfg.pet)
+    trainable, frozen = split_params(params, mask)
+    tx = build_optimizer(trainable, lr=1e-3, total_steps=1000)
+    state = TrainState.create(trainable, tx)
+    step = make_train_step(model, tx, tasks)
+
+    rng = jax.random.PRNGKey(0)
+    # warmup / compile
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, sub, 0)
+    jax.block_until_ready((state, metrics))
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, sub, 0)
+    jax.block_until_ready((state, metrics))
+    dt = time.perf_counter() - t0
+
+    ex_per_sec = B * n_steps / dt
+    print(json.dumps({
+        "metric": "train_examples_per_sec_per_chip (BART-base VL-PET-large multitask)",
+        "value": round(ex_per_sec, 2),
+        "unit": "examples/sec/chip",
+        "vs_baseline": round(ex_per_sec / A100_EST_EX_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()
