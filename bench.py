@@ -23,6 +23,10 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+# persistent compile cache: the flagship step takes ~3 min to compile cold
+jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
 A100_EST_EX_PER_SEC = 155.0
 
 
@@ -57,14 +61,17 @@ def main():
     for _ in range(3):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
-    jax.block_until_ready((state, metrics))
+    float(metrics["loss"])
 
+    # barrier = device->host fetch of the loss: on the tunneled 'axon'
+    # platform block_until_ready has been observed to return before the
+    # remote execution finishes, so only a host readback is a reliable sync
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
-    jax.block_until_ready((state, metrics))
+        float(metrics["loss"])
     dt = time.perf_counter() - t0
 
     ex_per_sec = B * n_steps / dt
