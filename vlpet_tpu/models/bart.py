@@ -124,6 +124,7 @@ class BartAttention(nn.Module):
             self.v_proj = dense("v_proj")
         self.k_proj = dense("k_proj")
         self.out_proj = dense("out_proj")
+        self.attn_dropout = nn.Dropout(rate=self.dropout)
 
         # --- value/key hooks -------------------------------------------------
         self.vpa = None
@@ -243,7 +244,7 @@ class BartAttention(nn.Module):
             logits = logits + mask.astype(jnp.float32)
         probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         if self.dropout > 0.0:
-            probs = nn.Dropout(rate=self.dropout)(probs, deterministic=deterministic)
+            probs = self.attn_dropout(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
         B, L = q.shape[:2]
         return out.reshape(B, L, self.embed_dim)

@@ -201,7 +201,8 @@ def t5_hf_to_flax(state_dict: Dict[str, Any], params, strict: bool = False):
             continue
         dm = re.match(r"DenseReluDense\.(wi|wi_0|wi_1|wo)\.weight", sub)
         if dm:
-            put(base + (blk, mod, dm.group(1), "kernel"), v, key, transpose=True)
+            # wi/wo live directly on the block in vlpet_tpu
+            put(base + (blk, dm.group(1), "kernel"), v, key, transpose=True)
             continue
         skipped.append(key)
 
