@@ -1,0 +1,203 @@
+"""Caption metrics: BLEU-1..4, ROUGE-L, CIDEr-D — pure Python/numpy.
+
+Replaces the reference's Java-backed `language_evaluation.CocoEvaluator`
+(reference: src/caption_clip_data.py:401-410, requirements.txt:14) with
+faithful reimplementations of the coco-caption algorithms:
+
+* BLEU: corpus-level with closest-reference brevity penalty;
+* ROUGE-L: LCS F-measure with beta=1.2, max over references, mean over corpus;
+* CIDEr-D: tf-idf-weighted clipped n-gram cosine (n=1..4), gaussian length
+  penalty (sigma=6), ×10.
+
+Tokenization approximates PTBTokenizer: lowercase, strip punctuation into
+separate handling, split on whitespace. Scores can differ from the Java
+stack by a small tokenization epsilon on real data; algorithmic behavior
+(identity captions → CIDEr 10, BLEU 1.0) is exact and unit-tested.
+
+METEOR / SPICE need the Java toolchain and are reported as None.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from collections import Counter, defaultdict
+from typing import Dict, List, Optional, Sequence
+
+_PUNCT_RE = re.compile(r"[\"'`!?,;:\.\(\)\[\]\{\}]")
+
+
+def ptb_tokenize(s: str) -> List[str]:
+    s = s.lower().strip()
+    s = _PUNCT_RE.sub(" ", s)
+    return s.split()
+
+
+def _ngrams(tokens: Sequence[str], n: int) -> Counter:
+    return Counter(tuple(tokens[i:i + n]) for i in range(len(tokens) - n + 1))
+
+
+# ---------------------------------------------------------------------------
+# BLEU
+# ---------------------------------------------------------------------------
+
+
+def corpus_bleu(candidates: List[str], references: List[List[str]],
+                max_n: int = 4) -> List[float]:
+    """Corpus BLEU-1..max_n with closest-length brevity penalty."""
+    clipped = [0] * max_n
+    totals = [0] * max_n
+    cand_len = 0
+    ref_len = 0
+    for cand, refs in zip(candidates, references):
+        c = ptb_tokenize(cand)
+        rs = [ptb_tokenize(r) for r in refs]
+        cand_len += len(c)
+        ref_len += min((abs(len(r) - len(c)), len(r)) for r in rs)[1]
+        for n in range(1, max_n + 1):
+            c_ngrams = _ngrams(c, n)
+            max_ref = Counter()
+            for r in rs:
+                for g, cnt in _ngrams(r, n).items():
+                    max_ref[g] = max(max_ref[g], cnt)
+            totals[n - 1] += max(len(c) - n + 1, 0)
+            clipped[n - 1] += sum(min(cnt, max_ref[g])
+                                  for g, cnt in c_ngrams.items())
+    bp = 1.0 if cand_len > ref_len else math.exp(1 - ref_len / max(cand_len, 1))
+    scores = []
+    log_sum = 0.0
+    for n in range(max_n):
+        p = clipped[n] / totals[n] if totals[n] > 0 else 0.0
+        # coco-caption smooths with tiny epsilon to avoid log(0)
+        log_sum += math.log(max(p, 1e-12))
+        scores.append(bp * math.exp(log_sum / (n + 1)))
+    return scores
+
+
+# ---------------------------------------------------------------------------
+# ROUGE-L
+# ---------------------------------------------------------------------------
+
+
+def _lcs_len(a: Sequence[str], b: Sequence[str]) -> int:
+    if not a or not b:
+        return 0
+    prev = [0] * (len(b) + 1)
+    for x in a:
+        cur = [0] * (len(b) + 1)
+        for j, y in enumerate(b, 1):
+            cur[j] = prev[j - 1] + 1 if x == y else max(prev[j], cur[j - 1])
+        prev = cur
+    return prev[-1]
+
+
+def rouge_l(candidates: List[str], references: List[List[str]],
+            beta: float = 1.2) -> float:
+    scores = []
+    for cand, refs in zip(candidates, references):
+        c = ptb_tokenize(cand)
+        best = 0.0
+        for ref in refs:
+            r = ptb_tokenize(ref)
+            lcs = _lcs_len(c, r)
+            if lcs == 0:
+                continue
+            prec = lcs / len(c)
+            rec = lcs / len(r)
+            f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
+            best = max(best, f)
+        scores.append(best)
+    return sum(scores) / max(len(scores), 1)
+
+
+# ---------------------------------------------------------------------------
+# CIDEr-D
+# ---------------------------------------------------------------------------
+
+
+def cider_d(candidates: List[str], references: List[List[str]],
+            max_n: int = 4, sigma: float = 6.0) -> float:
+    """CIDEr-D over the candidate corpus; idf document frequency computed
+    from the reference corpus (per standard coco-caption behavior)."""
+    n_images = len(references)
+    assert len(candidates) == n_images
+
+    ref_tokens = [[ptb_tokenize(r) for r in refs] for refs in references]
+    cand_tokens = [ptb_tokenize(c) for c in candidates]
+
+    # document frequency per n-gram over reference sets
+    df = [defaultdict(int) for _ in range(max_n)]
+    for refs in ref_tokens:
+        for n in range(1, max_n + 1):
+            seen = set()
+            for r in refs:
+                seen.update(_ngrams(r, n).keys())
+            for g in seen:
+                df[n - 1][g] += 1
+    log_n = math.log(max(n_images, 1))
+
+    def vec(tokens):
+        """Per-n tf-idf vectors + norms + length."""
+        vs, norms = [], []
+        for n in range(1, max_n + 1):
+            counts = _ngrams(tokens, n)
+            v = {}
+            for g, tf in counts.items():
+                idf = log_n - math.log(max(df[n - 1][g], 1.0))
+                v[g] = tf * idf
+            vs.append(v)
+            norms.append(math.sqrt(sum(x * x for x in v.values())))
+        return vs, norms, len(tokens)
+
+    total = 0.0
+    for c_toks, refs in zip(cand_tokens, ref_tokens):
+        c_vs, c_norms, c_len = vec(c_toks)
+        score_n = [0.0] * max_n
+        for r_toks in refs:
+            r_vs, r_norms, r_len = vec(r_toks)
+            delta = c_len - r_len
+            penalty = math.exp(-(delta ** 2) / (2 * sigma ** 2))
+            for n in range(max_n):
+                num = 0.0
+                for g, cv in c_vs[n].items():
+                    rv = r_vs[n].get(g)
+                    if rv is not None:
+                        # CIDEr-D clips the candidate tf-idf to the reference's
+                        num += min(cv, rv) * rv
+                denom = c_norms[n] * r_norms[n]
+                if denom > 0:
+                    score_n[n] += penalty * num / denom
+        n_refs = max(len(refs), 1)
+        total += 10.0 * sum(s / n_refs for s in score_n) / max_n
+    return total / max(n_images, 1)
+
+
+# ---------------------------------------------------------------------------
+# Evaluator facade
+# ---------------------------------------------------------------------------
+
+
+class COCOCaptionEvaluator:
+    """Mirrors language_evaluation.CocoEvaluator's dict output
+    (reference: caption_clip_data.py:401-410)."""
+
+    def __init__(self, coco_types: Optional[List[str]] = None):
+        self.coco_types = coco_types or ["BLEU", "ROUGE_L", "CIDEr"]
+
+    def evaluate(self, predicts: List[str], answers: List) -> Dict[str, float]:
+        # answers: list of str or list of list-of-str
+        refs = [[a] if isinstance(a, str) else list(a) for a in answers]
+        results: Dict[str, float] = {}
+        if "BLEU" in self.coco_types:
+            b = corpus_bleu(predicts, refs)
+            for i, s in enumerate(b, 1):
+                results[f"Bleu_{i}"] = s
+        if "ROUGE_L" in self.coco_types:
+            results["ROUGE_L"] = rouge_l(predicts, refs)
+        if "CIDEr" in self.coco_types:
+            results["CIDEr"] = cider_d(predicts, refs)
+        if "METEOR" in self.coco_types:
+            results["METEOR"] = None  # Java-only in the original stack
+        if "SPICE" in self.coco_types:
+            results["SPICE"] = None
+        return results
