@@ -91,8 +91,9 @@ class TestCaptionMetrics:
 
     def test_evaluator_facade(self):
         ev = COCOCaptionEvaluator()
-        res = ev.evaluate(["a cat on a mat"], [["a cat on a mat",
-                                               "a cat sits on the mat"]])
+        res = ev.evaluate(
+            ["a cat on a mat", "a bird in the sky"],
+            [["a cat on a mat", "a cat sits on the mat"], ["a bird in the sky"]])
         assert set(res) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"}
         assert res["CIDEr"] > 5
 
