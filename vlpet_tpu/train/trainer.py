@@ -1,0 +1,327 @@
+"""Trainer orchestration.
+
+Reference control flow (src/trainer_base.py + src/multitask.py): build config
+→ tokenizer → model → freeze/unfreeze → weight init → optimizer/schedule →
+per-epoch multitask loop → per-task eval (generate + evaluator) → save.
+
+TPU redesign:
+* params split into (trainable, frozen) once; the train step jits per task;
+* generation is a jitted staged pipeline (encode → cross-KV → while-loop);
+* checkpoints carry params + opt_state + step via orbax (resume-capable);
+* a ('data','model') mesh is built once; batches go in sharded over 'data'.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from vlpet_tpu.config import VLModelConfig
+from vlpet_tpu.models.generate import seq2seq_generate
+from vlpet_tpu.models.heads import nlvr_predict
+from vlpet_tpu.models.vlbart import VLBart
+from vlpet_tpu.models.t5 import VLT5
+from vlpet_tpu.pet.modules import PetContext
+from vlpet_tpu.train.checkpoint import CheckpointManager, load_params_npz, save_params_npz
+from vlpet_tpu.train.freezing import (
+    merge_params,
+    split_params,
+    trainable_mask,
+    trainable_report,
+    weight_initialization,
+)
+from vlpet_tpu.train.optim import build_optimizer
+from vlpet_tpu.train.steps import TrainState, make_train_step
+from vlpet_tpu.utils.logging import LossMeter, MetricsLogger
+from vlpet_tpu.parallel.mesh import MeshConfig, batch_sharding, build_mesh
+
+ARRAY_BATCH_KEYS = ("input_ids", "attention_mask", "vis_feats", "boxes",
+                    "img_order_ids", "obj_order_ids", "vis_attention_mask",
+                    "target_ids", "scores", "decoder_input_ids")
+
+
+def array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
+    return {k: jnp.asarray(v) for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
+
+
+class Trainer:
+    def __init__(self, cfg: VLModelConfig, tasks: Tuple[str, ...], *,
+                 lr: float = 1e-3, total_steps: int = 1000,
+                 warmup_ratio: float = 0.1, weight_decay: float = 0.01,
+                 clip_grad_norm: float = 5.0, adam_eps: float = 1e-6,
+                 adam_beta1: float = 0.9, adam_beta2: float = 0.999,
+                 seed: int = 9595, output_dir: Optional[str] = None,
+                 tokenizer=None, backbone_ckpt: Optional[str] = None,
+                 load: Optional[str] = None, mesh_model_axis: int = 1,
+                 verbose: bool = True, use_wandb: bool = False):
+        self.cfg = cfg
+        self.tasks = tuple(tasks)
+        self.tokenizer = tokenizer
+        self.output_dir = output_dir
+        self.verbose = verbose
+        self.model = VLT5(cfg) if cfg.is_t5 else VLBart(cfg)
+        self.logger = MetricsLogger(output_dir, use_wandb=use_wandb,
+                                    verbose=verbose)
+
+        # mesh (data parallel by default; model axis optional)
+        n_dev = jax.device_count()
+        model_axis = mesh_model_axis if n_dev % max(mesh_model_axis, 1) == 0 else 1
+        self.mesh = build_mesh(MeshConfig(data=n_dev // model_axis,
+                                          model=model_axis))
+        self.batch_shard = batch_sharding(self.mesh)
+
+        # --- params ---------------------------------------------------------
+        rng = jax.random.PRNGKey(seed)
+        b = cfg.backbone
+        dummy = dict(
+            input_ids=jnp.ones((2, 4), jnp.int32),
+            attention_mask=jnp.ones((2, 4), jnp.int32),
+            labels=jnp.ones((2, 3), jnp.int32))
+        if not cfg.vis.no_vis:
+            dummy.update(vis_feats=jnp.ones((2, cfg.vis.n_boxes, cfg.vis.feat_dim)),
+                         boxes=jnp.zeros((2, cfg.vis.n_boxes, 4)))
+        params = self.model.init(rng, **dummy, ctx=PetContext())["params"]
+        if backbone_ckpt:
+            from vlpet_tpu.models.hf_import import (bart_hf_to_flax,
+                                                    load_torch_state_dict,
+                                                    t5_hf_to_flax)
+
+            sd = load_torch_state_dict(backbone_ckpt)
+            conv = t5_hf_to_flax if cfg.is_t5 else bart_hf_to_flax
+            params, report = conv(sd, params)
+            if verbose:
+                print(f"imported {len(report['filled'])} tensors from "
+                      f"{backbone_ckpt}; {len(report['skipped'])} skipped")
+        params = weight_initialization(params, cfg.pet)
+        if load:
+            params, n = load_params_npz(load, params)
+            if verbose:
+                print(f"loaded {n} tensors from {load}")
+
+        # --- freezing + optimizer ------------------------------------------
+        self.mask = trainable_mask(params, cfg.pet)
+        self.report = trainable_report(params, self.mask)
+        if verbose:
+            r = self.report
+            print(f"Trainable param percentage: {r['percentage']:.2f}% "
+                  f"({r['trainable']}/{r['total']})")
+        trainable, frozen = split_params(params, self.mask)
+        self.frozen = frozen
+        self.tx = build_optimizer(
+            trainable, lr=lr, total_steps=total_steps,
+            warmup_ratio=warmup_ratio, weight_decay=weight_decay,
+            adam_beta1=adam_beta1, adam_beta2=adam_beta2, adam_eps=adam_eps,
+            clip_grad_norm=clip_grad_norm)
+        self.state = TrainState.create(trainable, self.tx)
+        self.train_step = make_train_step(self.model, self.tx, self.tasks)
+        self.rng = jax.random.PRNGKey(seed + 1)
+        self.ckpt = (CheckpointManager(os.path.join(output_dir, "ckpt"))
+                     if output_dir else None)
+
+        # NLVR scoring constants (reference: multitask.py:78-80,
+        # nlvr_model.py:70-77,199-206)
+        if tokenizer is not None and "nlvr" in self.tasks:
+            self.true_id = tokenizer("true", add_special_tokens=False).input_ids[0]
+            self.false_id = tokenizer("false", add_special_tokens=False).input_ids[0]
+        else:
+            self.true_id = self.false_id = None
+        self.nlvr_position = 0 if cfg.is_t5 else 1
+
+        self._gen_cache: Dict = {}
+        self._nlvr_step = None
+
+    # ------------------------------------------------------------------
+    @property
+    def merged_params(self):
+        return merge_params(self.state.params, self.frozen)
+
+    def task_idx(self, task: str) -> int:
+        return self.tasks.index(task)
+
+    def do_train_step(self, batch: Dict[str, Any]) -> Dict[str, float]:
+        task = batch["task"]
+        arr = array_batch(batch)
+        data_axis = self.mesh.shape["data"]
+        if len(batch["input_ids"]) % data_axis == 0:
+            arr = {k: jax.device_put(v, self.batch_shard) for k, v in arr.items()}
+        self.rng, sub = jax.random.split(self.rng)
+        self.state, metrics = self.train_step(self.state, self.frozen, arr, sub,
+                                              self.task_idx(task))
+        return metrics
+
+    def train(self, train_loader, epochs: int, val_loaders=None,
+              eval_every: int = 1, save_every: Optional[int] = None,
+              log_every: int = 20) -> Dict[str, Any]:
+        history = {}
+        step = 0
+        for epoch in range(epochs):
+            train_loader.set_epoch(epoch)
+            meter = LossMeter()
+            t0 = time.time()
+            n_examples = 0
+            for batch in train_loader:
+                metrics = self.do_train_step(batch)
+                meter.update(float(metrics["loss"]))
+                n_examples += len(batch["input_ids"])
+                step += 1
+                if step % log_every == 0:
+                    self.logger.log({"epoch": epoch, "loss": meter.val,
+                                     "examples_per_sec":
+                                         n_examples / (time.time() - t0)},
+                                    step=step)
+            epoch_metrics = {"train_loss": meter.val}
+            if val_loaders and (epoch + 1) % eval_every == 0:
+                for loader in val_loaders:
+                    scores = self.evaluate(loader)
+                    for k, v in scores.items():
+                        epoch_metrics[f"{loader.task}/{k}"] = v
+            self.logger.log({"epoch": epoch, **{k: v for k, v in
+                                                epoch_metrics.items()
+                                                if isinstance(v, (int, float))}},
+                            step=step)
+            history[epoch] = epoch_metrics
+            if save_every and self.ckpt and (epoch + 1) % save_every == 0:
+                self.save(step)
+        if self.ckpt:
+            self.save(step)
+        if self.output_dir:
+            save_params_npz(self.merged_params,
+                            os.path.join(self.output_dir, "LAST.npz"))
+        return history
+
+    # ------------------------------------------------------------------
+    def _gen_fn(self, task: str, num_beams: int, max_length: int, shapes_key):
+        key = (task, num_beams, max_length, shapes_key)
+        if key not in self._gen_cache:
+            ctx = PetContext(task=task, task_idx=self.task_idx(task))
+
+            @jax.jit
+            def gen(params, batch):
+                return seq2seq_generate(
+                    self.model, {"params": params},
+                    input_ids=batch["input_ids"],
+                    attention_mask=batch["attention_mask"],
+                    vis_feats=batch.get("vis_feats"),
+                    boxes=batch.get("boxes"),
+                    img_order_ids=batch.get("img_order_ids"),
+                    obj_order_ids=batch.get("obj_order_ids"),
+                    ctx=ctx, num_beams=num_beams, max_length=max_length)
+
+            self._gen_cache[key] = gen
+        return self._gen_cache[key]
+
+    def predict(self, loader, num_beams: int = 1, max_length: int = 20
+                ) -> Dict[str, Any]:
+        """Generate predictions for a loader; returns quesid2ans (+raw)."""
+        params = self.merged_params
+        quesid2ans: Dict[Any, str] = {}
+        predictions: List[str] = []
+        targets: List = []
+        for batch in loader:
+            arr = array_batch(batch)
+            shapes_key = tuple(v.shape for v in arr.values())
+            gen = self._gen_fn(batch["task"], num_beams, max_length, shapes_key)
+            seqs = np.asarray(gen(params, arr))
+            texts = self.tokenizer.batch_decode(seqs[:, 1:],
+                                                skip_special_tokens=True)
+            predictions.extend(texts)
+            if "targets" in batch:
+                targets.extend(batch["targets"])
+            for qid, text in zip(batch.get("question_ids", range(len(texts))),
+                                 texts):
+                quesid2ans[qid] = text.strip()
+        return {"quesid2ans": quesid2ans, "predictions": predictions,
+                "targets": targets}
+
+    def predict_nlvr(self, loader) -> Dict[Any, int]:
+        """True/false-logit scoring, no generation
+        (reference: nlvr_model.py:240-258)."""
+        if self._nlvr_step is None:
+            b = self.cfg.backbone
+            # fixed decoder input: [decoder_start, bos] for BART; [pad] for T5
+            if self.cfg.is_t5:
+                dec = np.array([[b.decoder_start_token_id]], np.int32)
+            else:
+                dec = np.array([[b.decoder_start_token_id, 0]], np.int32)
+            self._nlvr_dec = dec
+
+            @partial(jax.jit, static_argnums=(2,))
+            def score(params, batch, task_idx):
+                ctx = PetContext(task="nlvr", task_idx=task_idx)
+                B = batch["input_ids"].shape[0]
+                dec_ids = jnp.tile(jnp.asarray(self._nlvr_dec), (B, 1))
+                out = self.model.apply(
+                    {"params": params}, batch["input_ids"],
+                    batch["attention_mask"], vis_feats=batch.get("vis_feats"),
+                    boxes=batch.get("boxes"),
+                    img_order_ids=batch.get("img_order_ids"),
+                    obj_order_ids=batch.get("obj_order_ids"),
+                    decoder_input_ids=dec_ids, ctx=ctx, deterministic=True)
+                return nlvr_predict(out["logits"], self.true_id, self.false_id,
+                                    self.nlvr_position)
+
+            self._nlvr_step = score
+        out: Dict[Any, int] = {}
+        params = self.merged_params
+        for batch in loader:
+            arr = array_batch(batch)
+            preds = np.asarray(self._nlvr_step(params, arr,
+                                               self.task_idx("nlvr")))
+            for qid, p in zip(batch["question_ids"], preds):
+                out[qid] = int(p)
+        return out
+
+    def evaluate(self, loader, num_beams: Optional[int] = None,
+                 max_length: Optional[int] = None) -> Dict[str, float]:
+        """Per-task eval dispatch (reference: multitask.py:344-466)."""
+        task = loader.task
+        ev = loader.evaluator
+        if task == "nlvr":
+            quesid2ans = self.predict_nlvr(loader)
+            if ev is None:
+                return {}
+            res = ev.evaluate(quesid2ans)
+            return res if isinstance(res, dict) else {"accuracy": res}
+        if task in ("caption", "tvc", "yc2c"):
+            res = self.predict(loader, num_beams=num_beams or 5,
+                               max_length=max_length or 40)
+            if ev is None:
+                return {}
+            return ev.evaluate(res["predictions"], res["targets"])
+        # QA-style tasks
+        res = self.predict(loader, num_beams=num_beams or 1,
+                           max_length=max_length or 20)
+        if ev is None:
+            return {}
+        if hasattr(ev, "evaluate_raw") and getattr(ev, "id2datum_gt", None):
+            return {"score": ev.evaluate_raw(res["quesid2ans"])["overall"]}
+        if hasattr(ev, "eval"):  # TVQA style
+            preds = [{"question_id": q, "answer": a}
+                     for q, a in res["quesid2ans"].items()]
+            return ev.eval(preds)
+        return {"score": ev.evaluate(res["quesid2ans"]) * 100.0}
+
+    # ------------------------------------------------------------------
+    def save(self, step: int):
+        if self.ckpt:
+            self.ckpt.save(step, {"params": self.state.params,
+                                  "opt_state": self.state.opt_state,
+                                  "step": int(step)})
+
+    def restore(self) -> Optional[int]:
+        if not self.ckpt:
+            return None
+        data = self.ckpt.restore()
+        if data is None:
+            return None
+        self.state = TrainState(step=jnp.asarray(data["step"], jnp.int32),
+                                params=data["params"],
+                                opt_state=data["opt_state"])
+        return int(data["step"])
