@@ -32,7 +32,8 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from vlpet_tpu.config import BartConfig, PetConfig, PromptSpec, VisConfig, VLModelConfig
+from vlpet_tpu.config import (BartConfig, HyperformerSpec, PetConfig, PromptSpec,
+                              VisConfig, VLModelConfig)
 from vlpet_tpu.pet.hypernet import (
     AdapterLayersHyperNetController,
     AdapterLayersOneHyperNetController,
@@ -311,6 +312,11 @@ class BartEncoderLayer(nn.Module):
 
         use_serial_adapters = ((p.use_adapter or p.use_compacter or p.use_lradapter)
                                and not p.no_encoder_adapter)
+        meta_controller = (MetaLayersAdapterController(
+            d_model=d, dtype=dt,
+            add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
+            add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
+            name="adapter_hypernet") if p.use_hyperformer else None)
 
         def multihead(prefix: str):
             args = dict(d_model=d, down_dim=p.adapter_down_dim,
@@ -386,12 +392,8 @@ class BartEncoderLayer(nn.Module):
                 else:
                     h = pre + h * g
             # 4. hyperformer
-            if p.use_hyperformer and block_w is not None:
-                h = MetaLayersAdapterController(
-                    d_model=d, dtype=dt,
-                    add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
-                    add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
-                    name="adapter_hypernet")(h, block_w)
+            if meta_controller is not None and block_w is not None:
+                h = meta_controller(h, block_w)
             # 5. gating scaling
             if p.use_encoder_gating_scaling:
                 h = h * p.encoder_gating_scaling_factor
@@ -640,7 +642,6 @@ class JointEncoder(nn.Module):
             add_layer_norm_before_adapter=p.add_layer_norm_before_adapter,
             add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
             dtype=self._dtype, name="adapter_layers_hyper_net")
-        from vlpet_tpu.config import HyperformerSpec
         hspec = HyperformerSpec(
             projected_task_embedding_dim=(p.projected_task_embedding_dim
                                           if p.projected_task_embedding_dim > 0 else 64),
