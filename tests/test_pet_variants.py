@@ -131,3 +131,68 @@ def test_variant_trains_and_generates(name, tmp_path):
     # generation path must work with the variant's hooks
     res = trainer.predict(loaders[1], num_beams=2, max_length=6)
     assert len(res["predictions"]) > 0
+
+
+def test_attn_prefix_trains_and_generates(tmp_path):
+    """Prefix tuning: encoder + decoder per-layer KV prefixes
+    (reference: src/modeling_prefix_bart.py)."""
+    argv = ["--use_attn_prefix", "--encoder_prompt_len", "5",
+            "--decoder_prompt_len", "4", "--mid_dim", "16"]
+    trainer, loaders = build_trainer(argv, tmp_path)
+    assert trainer.report["trainable"] > 0
+    for loader in loaders:
+        batch = next(iter(loader))
+        m = trainer.do_train_step(batch)
+        assert np.isfinite(float(m["loss"]))
+    res = trainer.predict(loaders[1], num_beams=1, max_length=6)
+    assert len(res["predictions"]) > 0
+
+
+def test_attn_prefix_cache_parity():
+    """Incremental decode with prefilled prefix cache must equal the
+    full-sequence forward with prefix KVs."""
+    import jax
+    import jax.numpy as jnp
+    from vlpet_tpu.config import PetConfig, VisConfig, VLModelConfig
+    from vlpet_tpu.models.generate import init_self_cache
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    P = 3
+    pet = PetConfig(use_attn_prefix=True, decoder_prompt_len=P, mid_dim=8)
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=50, d_model=32, encoder_layers=2,
+                            decoder_layers=2, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=64,
+                            dropout=0.0),
+        vis=VisConfig(no_vis=True), pet=pet)
+    m = VLBart(cfg)
+    rng = np.random.default_rng(0)
+    B, L, T = 2, 5, 4
+    input_ids = jnp.asarray(rng.integers(3, 50, (B, L)), jnp.int32)
+    attn = jnp.ones((B, L), jnp.int32)
+    dec_ids = jnp.asarray(rng.integers(3, 50, (B, T)), jnp.int32)
+    ctx = PetContext()
+    params = m.init(jax.random.PRNGKey(0), input_ids, attn,
+                    labels=dec_ids, ctx=ctx)["params"]
+    enc_out, joint_mask = m.apply({"params": params}, input_ids, attn,
+                                  None, None, None, None, None, ctx,
+                                  method=VLBart.encode)
+    full = m.apply({"params": params}, dec_ids, enc_out, joint_mask, ctx,
+                   method=VLBart.decode_train)
+    cross_kvs = m.apply({"params": params}, enc_out, ctx,
+                        method=VLBart.init_decode)
+    prefix_kvs = m.apply({"params": params}, B,
+                         method=VLBart.init_decoder_prefix)
+    cache = init_self_cache(cfg, B, T + P)
+    cache = tuple({"k": l["k"].at[:, :P].set(pk), "v": l["v"].at[:, :P].set(pv)}
+                  for l, (pk, pv) in zip(cache, prefix_kvs))
+    steps = []
+    for t in range(T):
+        lg, cache = m.apply({"params": params}, dec_ids[:, t:t + 1], joint_mask,
+                            cross_kvs, cache, t + P, ctx,
+                            method=VLBart.decode_step)
+        steps.append(lg)
+    got = np.asarray(jnp.stack(steps, 1))
+    np.testing.assert_allclose(got, np.asarray(full), rtol=2e-4, atol=2e-4)

@@ -172,6 +172,7 @@ class PetConfig:
     encoder_prompt_len: int = 0
     decoder_prompt_len: int = 0
     use_single_prompt: bool = False
+    use_attn_prefix: bool = False
     mid_dim: int = 768
 
     # --- lm-head adapter ----------------------------------------------------

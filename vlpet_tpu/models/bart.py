@@ -256,8 +256,12 @@ class BartAttention(nn.Module):
                  cross_kv: Optional[Tuple[Array, Array]] = None,
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
+                 prefix_kv: Optional[Tuple[Array, Array]] = None,
                  deterministic: bool = True):
-        """Returns (attn_output, new_cache)."""
+        """Returns (attn_output, new_cache). ``prefix_kv`` (B, P, H, Dh)
+        prepends learned prefix-tuning context to the keys/values (the
+        reference's past_key_value-for-prefix path, modeling_prefix_bart.py);
+        the caller extends the mask with P always-attendable columns."""
         q = self._shape(self.q_proj(hidden_states) * self.scaling)
         new_cache = cache
         if self.role == "cross":
@@ -277,6 +281,9 @@ class BartAttention(nn.Module):
         else:
             k = self._shape(self.k_proj(hidden_states))
             v = self._shape(self.v_proj(hidden_states))
+            if prefix_kv is not None:
+                k = jnp.concatenate([prefix_kv[0].astype(k.dtype), k], axis=1)
+                v = jnp.concatenate([prefix_kv[1].astype(v.dtype), v], axis=1)
         out = self._attend(q, k, v, attention_mask, deterministic)
         return self.out_proj(out), new_cache
 
@@ -299,7 +306,8 @@ class BartEncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, hidden_states: Array, attention_mask: Array,
-                 ctx: PetContext, deterministic: bool = True) -> Array:
+                 ctx: PetContext, prefix_kv=None,
+                 deterministic: bool = True) -> Array:
         c = self.cfg
         p = c.pet
         b = c.backbone
@@ -406,7 +414,7 @@ class BartEncoderLayer(nn.Module):
         h, _ = BartAttention(c, d, b.encoder_attention_heads, b.attention_dropout,
                              role="enc_self", name="self_attn")(
             hidden_states, ctx, attention_mask=attention_mask,
-            deterministic=deterministic)
+            prefix_kv=prefix_kv, deterministic=deterministic)
         h = hooks(h, residual, "attn", block.self_attention if block else None)
         h = dropout(h, deterministic=deterministic)
         hidden_states = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")(residual + h)
@@ -538,6 +546,7 @@ class BartDecoderLayer(nn.Module):
                  cross_kv: Optional[Tuple[Array, Array]] = None,
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
+                 prefix_kv: Optional[Tuple[Array, Array]] = None,
                  deterministic: bool = True):
         c = self.cfg
         p = c.pet
@@ -549,7 +558,7 @@ class BartDecoderLayer(nn.Module):
         residual = hidden_states
         h, new_cache = self.self_attn(hidden_states, ctx,
                                       attention_mask=attention_mask, cache=cache,
-                                      decode_pos=decode_pos,
+                                      decode_pos=decode_pos, prefix_kv=prefix_kv,
                                       deterministic=deterministic)
         if self.self_attn_adapter is not None:
             h = self.self_attn_adapter(h, ctx)
@@ -678,8 +687,9 @@ class JointEncoder(nn.Module):
         positions = pos_table[2:2 + L].astype(dt)
         inputs_embeds = inputs_embeds + positions[None]
 
-        # encoder prompt prefix (reference: :776-778)
-        if c.pet.encoder_prompt_len > 0:
+        # encoder prompt prefix (reference: :776-778); in attn-prefix mode the
+        # prompt becomes per-layer KV context instead of input embeddings
+        if c.pet.encoder_prompt_len > 0 and not c.pet.use_attn_prefix:
             spec = PromptSpec(prompt_len=c.pet.encoder_prompt_len,
                               mid_dim=c.pet.mid_dim,
                               use_single_prompt=c.pet.use_single_prompt,
@@ -725,11 +735,28 @@ class JointEncoder(nn.Module):
         h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
         attn_mask = expand_mask(joint_mask, h.shape[1], dt)
 
+        prefix_kvs = None
+        if c.pet.use_attn_prefix and c.pet.encoder_prompt_len > 0:
+            from vlpet_tpu.pet.prefix import AttnPrefixController
+
+            prefix_kvs = AttnPrefixController(
+                c.pet.encoder_prompt_len, b.encoder_layers,
+                b.encoder_attention_heads, b.d_model, mid_dim=c.pet.mid_dim,
+                init_std=b.init_std, dtype=dt,
+                name="encoder_prefix_embedding")(B)
+            P = c.pet.encoder_prompt_len
+            # prefix keys are always attendable: P zero columns on the left
+            attn_mask = jnp.concatenate(
+                [jnp.zeros(attn_mask.shape[:3] + (P,), attn_mask.dtype),
+                 attn_mask], axis=-1)
+
         hypernet = self._stack_hypernet()
         for i in range(b.encoder_layers):
             block = hypernet(task_embedding, i) if hypernet is not None else None
             h = BartEncoderLayer(c, i, name=f"layers_{i}")(
-                h, attn_mask, ctx.for_layer(block), deterministic=deterministic)
+                h, attn_mask, ctx.for_layer(block),
+                prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
+                deterministic=deterministic)
         return h, joint_mask
 
 
@@ -753,6 +780,16 @@ class BartDecoder(nn.Module):
         self.emb_dropout = nn.Dropout(rate=b.dropout)
         self.layers = [BartDecoderLayer(c, i, name=f"layers_{i}")
                        for i in range(b.decoder_layers)]
+        if p.use_attn_prefix and p.decoder_prompt_len > 0:
+            from vlpet_tpu.pet.prefix import AttnPrefixController
+
+            self.decoder_prefix_embedding = AttnPrefixController(
+                p.decoder_prompt_len, b.decoder_layers,
+                b.decoder_attention_heads, b.d_model, mid_dim=p.mid_dim,
+                init_std=b.init_std, dtype=self._dtype,
+                name="decoder_prefix_embedding")
+        else:
+            self.decoder_prefix_embedding = None
         self.adapter_layers_hyper_net = None
         if p.use_hyperformer:
             hspec = HyperformerSpec(
@@ -794,8 +831,13 @@ class BartDecoder(nn.Module):
         embed_scale = (b.d_model ** 0.5) if b.scale_embedding else 1.0
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt) * embed_scale
         pos_table = self.embed_positions
+        # with a P-length attention prefix in the past, decoder positions
+        # start at P (past_key_values_length offset, HF 4.2.1 semantics)
+        P_off = (c.pet.decoder_prompt_len
+                 if (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0)
+                 else 0)
         if decode_pos is None:
-            h = h + pos_table[2:2 + T].astype(dt)[None]
+            h = h + pos_table[2 + P_off:2 + P_off + T].astype(dt)[None]
             self_mask = causal_mask(T, dt)
             if decoder_attention_mask is not None:
                 self_mask = self_mask + expand_mask(decoder_attention_mask, T, dt)
@@ -814,6 +856,15 @@ class BartDecoder(nn.Module):
         if encoder_attention_mask is not None:
             cross_mask = expand_mask(encoder_attention_mask, h.shape[1], dt)
 
+        prefix_kvs = None
+        if (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0
+                and decode_pos is None):
+            prefix_kvs = self.decoder_prefix_embedding(B)
+            P = c.pet.decoder_prompt_len
+            self_mask = jnp.concatenate(
+                [jnp.zeros(self_mask.shape[:3] + (P,), self_mask.dtype),
+                 self_mask], axis=-1)
+
         new_cache = []
         for i, layer in enumerate(self.layers):
             block = (self.adapter_layers_hyper_net(task_embedding, i)
@@ -826,9 +877,19 @@ class BartDecoder(nn.Module):
                 cross_kv=cross_kvs[i] if cross_kvs is not None else None,
                 cache=cache[i] if cache is not None else None,
                 decode_pos=decode_pos,
+                prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
                 deterministic=deterministic)
             new_cache.append(layer_cache)
         return h, (tuple(new_cache) if cache is not None else None)
+
+    def prefix_cache_init(self, batch_size: int, max_len: int):
+        """Write decoder self-attn prefixes into the first P cache slots;
+        generation then starts at position P (the past_key_values_length
+        offset of the reference's prefix decoder)."""
+        c = self.cfg
+        if not (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0):
+            return None
+        return self.decoder_prefix_embedding(batch_size)
 
     def compute_cross_kvs(self, encoder_hidden_states: Array, ctx: PetContext):
         """Precompute per-layer cross-attention K/V (VPA included) once per

@@ -222,11 +222,26 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
         n = B * num_beams
     else:
         n = B
-    cache = init_self_cache(cfg, n, max_length, dtype)
+
+    # decoder attention-prefix: prefill the first P cache slots once and
+    # start decoding at position P (prefix-tuning semantics)
+    P = 0
+    prefix_kvs = None
+    if (getattr(cfg.pet, "use_attn_prefix", False)
+            and cfg.pet.decoder_prompt_len > 0 and not cfg.is_t5):
+        P = cfg.pet.decoder_prompt_len
+        prefix_kvs = model.apply(variables, n,
+                                 method=type(model).init_decoder_prefix)
+    cache = init_self_cache(cfg, n, max_length + P, dtype)
+    if prefix_kvs is not None:
+        cache = tuple(
+            {"k": layer["k"].at[:, :P].set(pk.astype(dtype)),
+             "v": layer["v"].at[:, :P].set(pv.astype(dtype))}
+            for layer, (pk, pv) in zip(cache, prefix_kvs))
 
     def decode_step(tok, pos, cache):
-        return model.apply(variables, tok, joint_mask, cross_kvs, cache, pos,
-                           ctx, method=type(model).decode_step)
+        return model.apply(variables, tok, joint_mask, cross_kvs, cache,
+                           pos + P, ctx, method=type(model).decode_step)
 
     eos = bk.eos_token_id
     pad = bk.pad_token_id

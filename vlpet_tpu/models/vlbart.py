@@ -215,6 +215,10 @@ class VLBart(nn.Module):
                                        deterministic=deterministic)
         return self._logits(dec_out)
 
+    def init_decoder_prefix(self, batch_size: int):
+        """Per-layer decoder self-attn KV prefixes for cache prefill."""
+        return self.model.decoder.prefix_cache_init(batch_size, 0)
+
 
 def cross_entropy_with_ignore(logits: Array, labels: Array,
                               reduce: bool = False) -> Array:

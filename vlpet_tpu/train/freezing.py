@@ -74,7 +74,7 @@ def trainable_mask(params, pet: PetConfig) -> Any:
         if pet.use_lora and ("lora" in name or "bias" in name):
             t = True
         if (pet.encoder_prompt_len > 0 or pet.decoder_prompt_len > 0) \
-                and "prompt_modules" in name:
+                and ("prompt_modules" in name or "prefix_embedding" in name):
             t = True
         if pet.use_vis_adapter and "vis_adapter" in name:
             t = True
