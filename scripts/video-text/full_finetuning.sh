@@ -1,0 +1,10 @@
+#!/bin/bash
+# Full fine-tuning baseline (reference: scripts/image-text/full_finetuning.sh)
+# usage: bash full_finetuning.sh <lr> <seed>
+python -m vlpet_tpu.cli.multitask_video \
+    --optim adamw --warmup_ratio 0.1 --clip_grad_norm 5 --lr $1 --epochs 20 \
+    --backbone facebook/bart-base --output snap/VLBart_video_multitask/full_ft_lr$1_seed$2 \
+    --num_beams 5 --batch_size 50 --valid_batch_size 50 \
+    --unfreeze_language_model --tasks "tvqa,how2qa,tvc,yc2c" \
+    --feature_type RN101 --n_boxes 64 --image_size "(224,224)" \
+    --seed $2

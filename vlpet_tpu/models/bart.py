@@ -388,6 +388,9 @@ class BartEncoderLayer(nn.Module):
             elif p.use_encoder_adapter_gating_l2norm:
                 h = h / jnp.clip(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
             if gate is not None:
+                # expose gate activations for the heatmap dump
+                # (reference: --use_store_gate_large, modeling_bart.py:1200-1205)
+                self.sow("intermediates", f"encoder_{prefix}_gate", gate)
                 h = (h + gate) if p.use_encoder_adapter_gating_add else h * gate
             # 3. standalone gating replacing the adapter (reference :1238-1251)
             if p.use_encoder_gating_large_x_lowrank and not (prefix == "attn" and p.no_encoder_attn_adapter):
