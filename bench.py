@@ -61,17 +61,19 @@ def main():
     for _ in range(3):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
-    float(metrics["loss"])
+    float(jnp.asarray(metrics["loss"]))
 
-    # barrier = device->host fetch of the loss: on the tunneled 'axon'
-    # platform block_until_ready has been observed to return before the
-    # remote execution finishes, so only a host readback is a reliable sync
+    # Timing on the tunneled 'axon' platform: block_until_ready can return
+    # early and a host fetch costs a ~27ms round trip, so we dispatch n_steps
+    # asynchronously (they pipeline on device) and synchronize ONCE via a
+    # data-dependent scalar fetch from the final state — the fetch cannot
+    # complete until every chained step has executed.
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
-        float(metrics["loss"])
+    float(jnp.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
 
     ex_per_sec = B * n_steps / dt

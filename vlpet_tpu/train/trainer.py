@@ -166,16 +166,24 @@ class Trainer:
             meter = LossMeter()
             t0 = time.time()
             n_examples = 0
+            pending = []  # device scalars; fetched only at log points so the
+            # host never blocks on the ~27ms tunnel round trip per step
             for batch in train_loader:
                 metrics = self.do_train_step(batch)
-                meter.update(float(metrics["loss"]))
+                pending.append(metrics["loss"])
                 n_examples += len(batch["input_ids"])
                 step += 1
                 if step % log_every == 0:
+                    for v in pending:
+                        meter.update(float(v))
+                    pending.clear()
                     self.logger.log({"epoch": epoch, "loss": meter.val,
                                      "examples_per_sec":
                                          n_examples / (time.time() - t0)},
                                     step=step)
+            for v in pending:
+                meter.update(float(v))
+            pending.clear()
             epoch_metrics = {"train_loss": meter.val}
             if val_loaders and (epoch + 1) % eval_every == 0:
                 for loader in val_loaders:
