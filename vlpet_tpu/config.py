@@ -470,6 +470,7 @@ class VLModelConfig:
     pet: PetConfig = field(default_factory=PetConfig)
     # loss / head options
     classifier: bool = False
+    num_answers: int = 3129  # VQAv2 topk answers (classifier head)
     # compute dtype for activations ('float32' | 'bfloat16'); params stay fp32
     dtype: str = "float32"
 

@@ -129,6 +129,14 @@ class VLBart(nn.Module):
                 name="output_adapter")
         else:
             self.output_adapter = None
+        # classifier head: 2-layer MLP on the last decoder state, BCE over
+        # topk answers (reference: vqa_model.py:156-205)
+        if c.classifier:
+            self.answer_head = AnswerHead(c.d_model, c.num_answers,
+                                          init_std=c.backbone.init_std,
+                                          name="answer_head")
+        else:
+            self.answer_head = None
         # shared Compacter PHM rule (reference: modeling_bart.py:1479-1520)
         if (c.pet.use_compacter and c.pet.shared_phm_rule):
             pd = c.pet.hypercomplex_division
@@ -172,6 +180,8 @@ class VLBart(nn.Module):
             ctx=ctx, deterministic=deterministic)
         logits = self._logits(dec_out)
         out = {"logits": logits, "encoder_last_hidden_state": enc_out}
+        if self.answer_head is not None:
+            out["answer_logits"] = self.answer_head(dec_out[:, -1])
         if output_hidden_states:
             out["decoder_last_hidden_state"] = dec_out
         if labels is not None:
@@ -218,6 +228,50 @@ class VLBart(nn.Module):
     def init_decoder_prefix(self, batch_size: int):
         """Per-layer decoder self-attn KV prefixes for cache prefill."""
         return self.model.decoder.prefix_cache_init(batch_size, 0)
+
+    def classify(self, input_ids, attention_mask, vis_feats=None, boxes=None,
+                 img_order_ids=None, obj_order_ids=None, ctx: PetContext = None):
+        """Classifier-head forward: fixed 2-token decoder input, answer
+        logits from the last decoder state (reference: vqa_model.py:170-205)."""
+        c = self.cfg
+        ctx = self._ctx(ctx)
+        B = input_ids.shape[0]
+        dec = jnp.tile(jnp.asarray([[c.backbone.decoder_start_token_id,
+                                     c.backbone.bos_token_id]], jnp.int32),
+                       (B, 1))
+        dec_out, _, _ = self.model(input_ids, attention_mask, dec,
+                                   vis_feats=vis_feats, boxes=boxes,
+                                   img_order_ids=img_order_ids,
+                                   obj_order_ids=obj_order_ids, ctx=ctx,
+                                   deterministic=True)
+        return self.answer_head(dec_out[:, -1])
+
+
+class AnswerHead(nn.Module):
+    """Linear(d→2d) → GELU → LayerNorm → Linear(2d→num_answers)
+    (reference: vqa_model.py:156-162)."""
+
+    d_model: int
+    num_answers: int
+    init_std: float = 0.02
+
+    @nn.compact
+    def __call__(self, x: Array) -> Array:
+        from vlpet_tpu.pet.modules import TaskDense, get_activation
+
+        h = TaskDense(self.d_model, self.d_model * 2, init_std=self.init_std,
+                      name="fc1")(x)
+        h = get_activation("gelu")(h)
+        h = nn.LayerNorm(name="mlp_layer_norm")(h)
+        return TaskDense(self.d_model * 2, self.num_answers,
+                         init_std=self.init_std, name="fc2")(h)
+
+
+def bce_with_logits(logits: Array, targets: Array) -> Array:
+    """BCEWithLogitsLoss mean (reference: vqa_model.py:166, 205)."""
+    log_p = jax.nn.log_sigmoid(logits)
+    log_not_p = jax.nn.log_sigmoid(-logits)
+    return -(targets * log_p + (1.0 - targets) * log_not_p).mean()
 
 
 def cross_entropy_with_ignore(logits: Array, labels: Array,
