@@ -349,3 +349,29 @@ def build_model_config(args, tasks: Tuple[str, ...],
     dtype = "bfloat16" if (args.bf16 or args.fp16) else "float32"
     return VLModelConfig(backbone=backbone, vis=vis, pet=pet,
                          classifier=args.classifier, dtype=dtype)
+
+
+class Config:
+    """Attr-bag with yaml round trip (reference: src/param.py:422-447)."""
+
+    def __init__(self, **kwargs):
+        for k, v in kwargs.items():
+            setattr(self, k, v)
+
+    def save(self, path: str):
+        import yaml
+
+        with open(path, "w") as f:
+            yaml.safe_dump({k: v for k, v in self.__dict__.items()}, f)
+
+    @classmethod
+    def load(cls, path: str) -> "Config":
+        import yaml
+
+        with open(path) as f:
+            return cls(**yaml.safe_load(f))
+
+    def __repr__(self):
+        import pprint
+
+        return pprint.pformat(self.__dict__)

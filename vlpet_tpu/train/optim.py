@@ -56,3 +56,34 @@ def build_optimizer(trainable_params, *, lr: float, total_steps: int,
     if clip_grad_norm and clip_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
     return tx
+
+
+def build_separate_visual_optimizer(trainable_params, *, lr: float,
+                                    total_steps: int, vis_lr: float = 1e-4,
+                                    vis_weight_decay: float = 0.01,
+                                    use_adam_for_visual: bool = True,
+                                    warmup_ratio: float = 0.1,
+                                    weight_decay: float = 0.01,
+                                    clip_grad_norm: float = 5.0,
+                                    **adamw_kw) -> optax.GradientTransformation:
+    """--use_separate_optimizer_for_visual: the reference's FusedOptimizer
+    (reference: src/utils.py:143, trainer_base.py:646-720) — AdamW on the
+    language side, Adam or SGD with its own lr on the visual-encoder params.
+    Implemented with optax.multi_transform over a path-label pytree."""
+
+    def label(path, leaf):
+        name = ".".join(str(getattr(k, "key", k)) for k in path)
+        return "visual" if "vis_encoder" in name or "visual" in name else "lm"
+
+    labels = jax.tree_util.tree_map_with_path(label, trainable_params)
+    sched = linear_warmup_schedule(lr, total_steps, warmup_ratio)
+    lm_tx = optax.adamw(sched, weight_decay=weight_decay,
+                        mask=decay_mask(trainable_params), **adamw_kw)
+    if use_adam_for_visual:
+        vis_tx = optax.adamw(vis_lr, weight_decay=vis_weight_decay)
+    else:
+        vis_tx = optax.sgd(vis_lr)
+    tx = optax.multi_transform({"lm": lm_tx, "visual": vis_tx}, labels)
+    if clip_grad_norm and clip_grad_norm > 0:
+        tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
+    return tx
