@@ -58,3 +58,36 @@ def test_visual_adapter_kinds():
         vars_ = m.init(jax.random.PRNGKey(0), x)
         out = m.apply(vars_, x)
         assert out.shape == (1, 4, 4, 32)
+
+
+def test_raw_input_wrapper_end_to_end():
+    """Raw images → CLIP trunk → joint encoder → loss, in one module."""
+    import dataclasses
+    from vlpet_tpu.config import BartConfig, PetConfig, VLModelConfig, VisConfig
+    from vlpet_tpu.vision.vis_encoder import RawInputVLModel
+    from vlpet_tpu.pet.modules import PetContext
+    from vlpet_tpu.train.freezing import trainable_mask, flatten_with_paths
+
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=64, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=64,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=2048, n_boxes=4),
+        pet=PetConfig(use_vis_adapter=True, unfreeze_vis_encoder=False))
+    m = RawInputVLModel(cfg, vis_backbone="RN50", image_size=64,
+                        vis_adapter_type="middle-bottleneck",
+                        vis_reduction_factor=2)
+    kw = dict(input_ids=jnp.ones((2, 4), jnp.int32),
+              attention_mask=jnp.ones((2, 4), jnp.int32),
+              images=jnp.ones((2, 64, 64, 3)),
+              labels=jnp.ones((2, 3), jnp.int32))
+    variables = m.init(jax.random.PRNGKey(0), **kw, ctx=PetContext())
+    out = m.apply(variables, **kw, ctx=PetContext())
+    assert np.isfinite(np.asarray(out["loss"])).all()
+    # the conv VisualAdapters are trainable under --use_vis_adapter
+    mask = trainable_mask(variables["params"], cfg.pet)
+    names = [n for n, v in flatten_with_paths(mask)
+             if v and "vis_encoder" in n]
+    assert names and all("adapter" in n for n in names)

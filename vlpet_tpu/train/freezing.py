@@ -76,7 +76,8 @@ def trainable_mask(params, pet: PetConfig) -> Any:
         if (pet.encoder_prompt_len > 0 or pet.decoder_prompt_len > 0) \
                 and ("prompt_modules" in name or "prefix_embedding" in name):
             t = True
-        if pet.use_vis_adapter and "vis_adapter" in name:
+        if pet.use_vis_adapter and "vis_encoder" in name and re.search(
+                r"(front|middle|back|transition)_adapter", name):
             t = True
         if pet.unfreeze_vis_encoder and "vis_encoder" in name:
             t = True

@@ -1,0 +1,73 @@
+"""Raw-image path: run the CLIP encoder inside the model forward.
+
+Reference: src/vis_encoder.py (get_vis_encoder) + VLBart.vis_forward
+(src/modeling_bart.py:1604-1620) — with --feature_type raw_<backbone> the
+batch carries raw images and the visual features are computed on the fly,
+optionally end-to-end trainable (--unfreeze_vis_encoder / --use_vis_adapter).
+
+Here the encoder and the VL model live in ONE flax module so the whole
+raw-image step jits as a single XLA program and the freezing engine sees
+'vis_encoder.*' paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from vlpet_tpu.config import VLModelConfig
+from vlpet_tpu.pet.modules import PetContext
+from vlpet_tpu.vision.clip import RAW_FEAT_DIMS, CLIPVisualEncoder
+
+
+class RawInputVLModel(nn.Module):
+    """CLIP visual trunk + VLBart/VLT5 in one module.
+
+    __call__ accepts ``images`` (B, H, W, 3) instead of precomputed
+    vis_feats; boxes are zeros (reference: vis_forward sets vis_pos zeros).
+    """
+
+    cfg: VLModelConfig
+    vis_backbone: str = "RN101"
+    image_size: int = 224
+    vis_adapter_type: Optional[str] = None
+    vis_reduction_factor: int = 2
+    use_bn: bool = True
+    vis_pooling_output: bool = False
+
+    def setup(self):
+        from vlpet_tpu.models.t5 import VLT5
+        from vlpet_tpu.models.vlbart import VLBart
+
+        self.vis_encoder = CLIPVisualEncoder(
+            backbone=self.vis_backbone, image_size=self.image_size,
+            adapter_type=self.vis_adapter_type,
+            reduction_factor=self.vis_reduction_factor, use_bn=self.use_bn,
+            dtype=jnp.bfloat16 if self.cfg.dtype == "bfloat16" else jnp.float32,
+            name="vis_encoder")
+        self.vl = (VLT5(self.cfg, name="vl") if self.cfg.is_t5
+                   else VLBart(self.cfg, name="vl"))
+
+    def vis_forward(self, images, train: bool = False):
+        grid, pooled = self.vis_encoder(images, train=train)
+        feats = pooled if self.vis_pooling_output else grid
+        B, L, _ = feats.shape
+        boxes = jnp.zeros((B, L, 4), feats.dtype)
+        return feats, boxes
+
+    def __call__(self, input_ids, attention_mask, images, labels=None,
+                 ctx: PetContext = None, deterministic: bool = True,
+                 reduce_loss: bool = False, train_vis: bool = False
+                 ) -> Dict[str, Any]:
+        feats, boxes = self.vis_forward(images, train=train_vis)
+        return self.vl(input_ids, attention_mask, vis_feats=feats, boxes=boxes,
+                       labels=labels, ctx=ctx, deterministic=deterministic,
+                       reduce_loss=reduce_loss)
+
+
+def raw_feat_dim(backbone: str) -> int:
+    """feat_dim per raw backbone (reference: multitask.py:648-660)."""
+    return RAW_FEAT_DIMS[backbone]
