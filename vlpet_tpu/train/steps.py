@@ -55,17 +55,33 @@ def make_train_step(model, tx, tasks: Tuple[str, ...], lambda_z: float = 0.0):
 
         def loss_fn(trainable):
             params = merge_params(trainable, frozen)
-            out = model.apply(
-                {"params": params},
-                batch["input_ids"], batch["attention_mask"],
+            kwargs = dict(
                 vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
                 img_order_ids=batch.get("img_order_ids"),
                 obj_order_ids=batch.get("obj_order_ids"),
                 vis_attention_mask=batch.get("vis_attention_mask"),
                 labels=batch["target_ids"], ctx=ctx, deterministic=False,
                 rngs={"dropout": rng})
+            if lambda_z > 0:
+                out, inter = model.apply(
+                    {"params": params}, batch["input_ids"],
+                    batch["attention_mask"], mutable=["intermediates"],
+                    **kwargs)
+            else:
+                out = model.apply({"params": params}, batch["input_ids"],
+                                  batch["attention_mask"], **kwargs)
             loss = task_loss(task, out["loss"], batch["target_ids"],
                              batch.get("scores"))
+            if lambda_z > 0:
+                # adapter-activation L2 regularizer (reference:
+                # multitask.py:242-256 — mean over adapters of mean(z^2))
+                zs = [z for path, z in jax.tree_util.tree_flatten_with_path(
+                          inter)[0]
+                      if any(str(getattr(k, "key", k)) == "z" for k in path)]
+                if zs:
+                    reg = sum(jnp.mean(jnp.square(z.astype(jnp.float32)))
+                              for z in zs) / len(zs)
+                    loss = loss + lambda_z * reg
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
