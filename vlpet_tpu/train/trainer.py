@@ -120,7 +120,9 @@ class Trainer:
             adam_beta1=adam_beta1, adam_beta2=adam_beta2, adam_eps=adam_eps,
             clip_grad_norm=clip_grad_norm)
         self.state = TrainState.create(trainable, self.tx)
-        self.train_step = make_train_step(self.model, self.tx, self.tasks)
+        self.train_step = make_train_step(
+            self.model, self.tx, self.tasks,
+            lambda_z=(cfg.pet.lambda_z if cfg.pet.track_z else 0.0))
         self.rng = jax.random.PRNGKey(seed + 1)
         self.ckpt = (CheckpointManager(os.path.join(output_dir, "ckpt"))
                      if output_dir else None)
