@@ -1,0 +1,77 @@
+"""CLIP weight-conversion parity: the flax ModifiedResNet must reproduce the
+torch reference trunk (used as a numerical oracle) after state_dict import."""
+
+import os
+import sys
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference not mounted")
+
+
+def build_torch_resnet():
+    # load the module file directly (the clip package __init__ pulls in
+    # torchvision, which is not installed)
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ref_clip_model", os.path.join(REF, "clip", "model.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    ModifiedResNet = mod.ModifiedResNet
+
+    torch.manual_seed(0)
+    m = ModifiedResNet(layers=(1, 1, 1, 1), output_dim=64, heads=8,
+                       input_resolution=64, width=16).eval()
+    # the reference's AttentionPool2d is only ever used through
+    # CLIPResNetEncoder, which reshapes the pos-embed to (1, N, C)
+    # (vis_encoder.py:271-276); apply the same patch to run it standalone
+    m.attnpool.positional_embedding = torch.nn.Parameter(
+        m.attnpool.positional_embedding.data.unsqueeze(0))
+    return m
+
+
+def test_resnet_trunk_parity():
+    tm = build_torch_resnet()
+    sd = {f"visual.{k}": v for k, v in tm.state_dict().items()}
+
+    from vlpet_tpu.vision.clip import CLIPVisualEncoder
+    import vlpet_tpu.vision.clip as clipmod
+
+    enc = clipmod.ModifiedResNet(layers=(1, 1, 1, 1), output_dim=64, heads=8,
+                                 input_resolution=64, width=16, name=None)
+
+    import flax.linen as nn
+
+    class Wrap(nn.Module):
+        @nn.compact
+        def __call__(self, x):
+            return clipmod.ModifiedResNet(
+                layers=(1, 1, 1, 1), output_dim=64, heads=8,
+                input_resolution=64, width=16, name="visual")(x)
+
+    w = Wrap()
+    x = np.random.default_rng(0).normal(size=(2, 3, 64, 64)).astype(np.float32)
+    x_nhwc = jnp.asarray(np.transpose(x, (0, 2, 3, 1)))
+    variables = w.init(jax.random.PRNGKey(0), x_nhwc)
+
+    from vlpet_tpu.vision.clip_import import clip_torch_to_flax
+
+    variables, report = clip_torch_to_flax(sd, variables)
+    assert not report["skipped"], report["skipped"]
+
+    grid, pooled = w.apply(variables, x_nhwc)
+    with torch.no_grad():
+        t_grid, t_pooled = tm(torch.tensor(x))
+    # torch grid is NCHW; ours NHWC
+    want_grid = np.transpose(t_grid.numpy(), (0, 2, 3, 1))
+    np.testing.assert_allclose(np.asarray(grid), want_grid, rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(np.asarray(pooled), t_pooled.numpy(),
+                               rtol=2e-4, atol=2e-4)

@@ -720,6 +720,11 @@ class JointEncoder(nn.Module):
                                 name="visual_embedding")(vf, bx, shared_embedding,
                                                          img_order_ids=io,
                                                          obj_order_ids=oo)
+            if v.sparse_sample and not deterministic:
+                from vlpet_tpu.models.visual import sparse_sample
+
+                vis_embeds = sparse_sample(vis_embeds, v.n_boxes,
+                                           self.make_rng("dropout"))
             V_L = vis_embeds.shape[1]
             if v.share_vis_lang_layer_norm:
                 h = jnp.concatenate([inputs_embeds, vis_embeds], axis=1)

@@ -498,6 +498,11 @@ class T5JointEncoder(nn.Module):
             oo = vis_inputs[3] if len(vis_inputs) == 4 else obj_order_ids
             vis_embeds = self.visual_embedding(vf, bx, shared_embedding,
                                                img_order_ids=io, obj_order_ids=oo)
+            if v.sparse_sample and not deterministic:
+                from vlpet_tpu.models.visual import sparse_sample
+
+                vis_embeds = sparse_sample(vis_embeds, v.n_boxes,
+                                           self.make_rng("dropout"))
             V_L = vis_embeds.shape[1]
             h = jnp.concatenate([h, vis_embeds], axis=1)
             if vis_attention_mask is None:
