@@ -40,7 +40,8 @@ def main():
 
     import dataclasses
     cfg, tasks = _flagship_cfg()
-    cfg = dataclasses.replace(cfg, dtype="bfloat16")  # MXU-native compute
+    # MXU-native bf16 compute + fused short-sequence Pallas attention
+    cfg = dataclasses.replace(cfg, dtype="bfloat16", use_pallas_attention=True)
     model = VLBart(cfg)
 
     B = 500  # published recipe batch size (scripts/image-text/VL-PET-large.sh)

@@ -50,3 +50,69 @@ def test_custom_vjp_grads_match_reference():
     for a, b in zip(g_k, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_fused_attention_matches_reference():
+    from vlpet_tpu.ops.attention import fused_attention, fused_attention_reference
+
+    rng = np.random.default_rng(0)
+    B, L, H, Dh = 3, 16, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    from vlpet_tpu.ops.attention import _pallas_attention
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    mask = jnp.where(jnp.arange(L)[None, None, None, :] < 12, 0.0, -1e9)
+    mask = jnp.broadcast_to(mask, (B, 1, L, L)).astype(jnp.float32)
+    got = _pallas_attention(q, k, v, mask, H, interpret=True)
+    want = fused_attention_reference(q, k, v, mask, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # per-head bias variant (T5 relative bias shape)
+    mask_h = jnp.broadcast_to(mask, (B, H, L, L)) + jnp.asarray(
+        rng.normal(size=(1, H, 1, L)), jnp.float32)
+    got_h = _pallas_attention(q, k, v, mask_h, H, interpret=True)
+    want_h = fused_attention_reference(q, k, v, mask_h, H)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
+    # custom-vjp grads match the reference
+    g1 = jax.grad(lambda q: fused_attention_reference(q, k, v, mask, H).sum())(q)
+    import vlpet_tpu.ops.attention as att
+    orig = att._pallas_attention
+    att._pallas_attention = lambda *a, **kw: orig(*a, interpret=True)
+    try:
+        from vlpet_tpu.ops.attention import fused_attention as fa
+        g2 = jax.grad(lambda q: fa(q, k, v, mask, H).sum())(q)
+    finally:
+        att._pallas_attention = orig
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
+
+
+def test_model_with_pallas_attention_matches_xla():
+    """Full VLBart forward with use_pallas_attention (interpret mode) must
+    equal the XLA attention path."""
+    import dataclasses
+    from jax.experimental.pallas import tpu as pltpu
+    from vlpet_tpu.config import BartConfig, PetConfig, VLModelConfig, VisConfig
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    base = VLModelConfig(
+        backbone=BartConfig(vocab_size=64, d_model=32, encoder_layers=2,
+                            decoder_layers=2, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=32,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=8, n_boxes=4), pet=PetConfig())
+    rng = np.random.default_rng(0)
+    kw = dict(input_ids=jnp.asarray(rng.integers(3, 64, (2, 5)), jnp.int32),
+              attention_mask=jnp.ones((2, 5), jnp.int32),
+              vis_feats=jnp.asarray(rng.normal(size=(2, 4, 8)), jnp.float32),
+              boxes=jnp.zeros((2, 4, 4)),
+              labels=jnp.asarray(rng.integers(3, 64, (2, 3)), jnp.int32))
+    m_x = VLBart(base)
+    params = m_x.init(jax.random.PRNGKey(0), **kw, ctx=PetContext())["params"]
+    out_x = m_x.apply({"params": params}, **kw, ctx=PetContext())
+    m_p = VLBart(dataclasses.replace(base, use_pallas_attention=True))
+    with pltpu.force_tpu_interpret_mode():
+        out_p = m_p.apply({"params": params}, **kw, ctx=PetContext())
+    np.testing.assert_allclose(np.asarray(out_p["logits"]),
+                               np.asarray(out_x["logits"]), rtol=2e-4, atol=2e-4)

@@ -473,6 +473,8 @@ class VLModelConfig:
     num_answers: int = 3129  # VQAv2 topk answers (classifier head)
     # compute dtype for activations ('float32' | 'bfloat16'); params stay fp32
     dtype: str = "float32"
+    # fused short-sequence Pallas attention (TPU only; see vlpet_tpu/ops)
+    use_pallas_attention: bool = False
 
     @property
     def is_t5(self) -> bool:

@@ -239,6 +239,18 @@ class BartAttention(nn.Module):
     def _attend(self, q: Array, k: Array, v: Array, mask: Optional[Array],
                 deterministic: bool) -> Array:
         # q,k,v: (B, L, H, Dh); attention logits accumulate in fp32
+        B, L = q.shape[:2]
+        S = k.shape[1]
+        use_pallas = (getattr(self.cfg, "use_pallas_attention", False)
+                      and (self.dropout == 0.0 or deterministic)
+                      and mask is not None and L > 1)
+        if use_pallas:
+            from vlpet_tpu.ops.attention import fused_attention
+
+            m = jnp.broadcast_to(mask, (mask.shape[0], mask.shape[1], L, S))
+            return fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
+                                   v.reshape(B, S, -1),
+                                   m.astype(jnp.float32), self.num_heads)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if mask is not None:
@@ -247,7 +259,6 @@ class BartAttention(nn.Module):
         if self.dropout > 0.0:
             probs = self.attn_dropout(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        B, L = q.shape[:2]
         return out.reshape(B, L, self.embed_dim)
 
     def __call__(self, hidden_states: Array, ctx: PetContext,
