@@ -77,12 +77,15 @@ def test_fused_attention_matches_reference():
     g1 = jax.grad(lambda q: fused_attention_reference(q, k, v, mask, H).sum())(q)
     import vlpet_tpu.ops.attention as att
     orig = att._pallas_attention
+    orig_b = att._pallas_attention_bwd
     att._pallas_attention = lambda *a, **kw: orig(*a, interpret=True)
+    att._pallas_attention_bwd = lambda *a, **kw: orig_b(*a, interpret=True)
     try:
         from vlpet_tpu.ops.attention import fused_attention as fa
         g2 = jax.grad(lambda q: fa(q, k, v, mask, H).sum())(q)
     finally:
         att._pallas_attention = orig
+        att._pallas_attention_bwd = orig_b
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
 
 
@@ -116,3 +119,26 @@ def test_model_with_pallas_attention_matches_xla():
         out_p = m_p.apply({"params": params}, **kw, ctx=PetContext())
     np.testing.assert_allclose(np.asarray(out_p["logits"]),
                                np.asarray(out_x["logits"]), rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_backward_kernel_matches_reference():
+    from vlpet_tpu.ops.attention import (
+        _pallas_attention_bwd,
+        fused_attention_reference,
+    )
+
+    rng = np.random.default_rng(1)
+    B, L, H, Dh = 2, 16, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    mask = jnp.broadcast_to(
+        jnp.where(jnp.arange(L)[None, None, None, :] < 13, 0.0, -1e9),
+        (B, 1, L, L)).astype(jnp.float32)
+    do = mk(B, L, H * Dh)
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, H, interpret=True)
+    _, vjp = jax.vjp(lambda q, k, v: fused_attention_reference(q, k, v, mask, H),
+                     q, k, v)
+    rq, rk, rv = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
