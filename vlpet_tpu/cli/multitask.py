@@ -142,7 +142,8 @@ def main(argv=None):
         adam_beta1=args.adam_beta1, adam_beta2=args.adam_beta2,
         seed=args.seed, output_dir=args.output, tokenizer=tokenizer,
         backbone_ckpt=args.backbone_ckpt, load=args.load,
-        mesh_model_axis=args.mesh_model_axis)
+        mesh_model_axis=args.mesh_model_axis,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
 
     if args.infer_only or args.test_only:
         if args.load_trained_model_path:

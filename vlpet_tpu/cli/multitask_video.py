@@ -41,7 +41,8 @@ def main(argv=None):
         clip_grad_norm=args.clip_grad_norm, seed=args.seed,
         output_dir=args.output, tokenizer=tokenizer,
         backbone_ckpt=args.backbone_ckpt, load=args.load,
-        mesh_model_axis=args.mesh_model_axis)
+        mesh_model_axis=args.mesh_model_axis,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
 
     if args.infer_only or args.test_only:
         for loader in val_loaders:

@@ -45,7 +45,8 @@ def main(task: str, argv=None):
         clip_grad_norm=args.clip_grad_norm, seed=args.seed,
         output_dir=args.output, tokenizer=tokenizer,
         backbone_ckpt=args.backbone_ckpt, load=args.load,
-        mesh_model_axis=args.mesh_model_axis)
+        mesh_model_axis=args.mesh_model_axis,
+        gradient_accumulation_steps=args.gradient_accumulation_steps)
     if args.test_only or args.infer_only:
         for loader in val_loaders:
             print(loader.task, trainer.evaluate(loader,

@@ -60,6 +60,7 @@ class Trainer:
                  seed: int = 9595, output_dir: Optional[str] = None,
                  tokenizer=None, backbone_ckpt: Optional[str] = None,
                  load: Optional[str] = None, mesh_model_axis: int = 1,
+                 gradient_accumulation_steps: int = 1,
                  verbose: bool = True, use_wandb: bool = False):
         self.cfg = cfg
         self.tasks = tuple(tasks)
@@ -119,6 +120,11 @@ class Trainer:
             warmup_ratio=warmup_ratio, weight_decay=weight_decay,
             adam_beta1=adam_beta1, adam_beta2=adam_beta2, adam_eps=adam_eps,
             clip_grad_norm=clip_grad_norm)
+        if gradient_accumulation_steps > 1:
+            import optax
+
+            self.tx = optax.MultiSteps(self.tx,
+                                       every_k_schedule=gradient_accumulation_steps)
         self.state = TrainState.create(trainable, self.tx)
         self.train_step = make_train_step(
             self.model, self.tx, self.tasks,
