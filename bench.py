@@ -40,8 +40,10 @@ def main():
 
     import dataclasses
     cfg, tasks = _flagship_cfg()
-    # MXU-native bf16 compute + fused short-sequence Pallas attention
-    cfg = dataclasses.replace(cfg, dtype="bfloat16", use_pallas_attention=True)
+    # MXU-native bf16 compute. (Pallas fused attention measured faster in
+    # isolation but slower end-to-end in training — see PERF.md — so the
+    # XLA attention path stays default.)
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = VLBart(cfg)
 
     B = 500  # published recipe batch size (scripts/image-text/VL-PET-large.sh)
