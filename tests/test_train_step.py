@@ -93,3 +93,41 @@ def test_task_routing_uses_distinct_jit_entries():
     state, m1 = step(state, frozen, batch, rng, 0)  # vqa: score-weighted
     state, m2 = step(state, frozen, batch, rng, 1)  # caption: reduced CE
     assert np.isfinite(float(m1["loss"])) and np.isfinite(float(m2["loss"]))
+
+
+def test_data_parallel_matches_single_device():
+    """The same train step under an 8-device data-parallel mesh must produce
+    the same loss/params as unsharded execution (XLA-inserted psum ==
+    NCCL-DDP semantics)."""
+    from vlpet_tpu.parallel.mesh import MeshConfig, batch_sharding, build_mesh, param_shardings
+
+    cfg, m, params, batch = setup_tiny()
+    mask = trainable_mask(params, cfg.pet)
+    trainable, frozen = split_params(params, mask)
+    tx = build_optimizer(trainable, lr=1e-2, total_steps=10)
+    step = make_train_step(m, tx, TASKS)
+    rng = jax.random.PRNGKey(0)
+
+    copy = lambda t: jax.tree_util.tree_map(jnp.array, t)
+    # unsharded
+    s1 = TrainState.create(copy(trainable), tx)
+    s1, m1 = step(s1, frozen, batch, rng, 0)
+
+    # sharded over the full 8-device mesh (batch=4 won't divide 8; use 8)
+    big = {k: (np.concatenate([np.asarray(v)] * 2, 0) if hasattr(v, "shape")
+               and v.shape and v.shape[0] == 4 else v)
+           for k, v in batch.items()}
+    mesh = build_mesh(MeshConfig(data=8, model=1))
+    bs = batch_sharding(mesh)
+    sharded = {k: jax.device_put(jnp.asarray(v), bs) for k, v in big.items()}
+    unsharded = {k: jnp.asarray(v) for k, v in big.items()}
+
+    s2 = TrainState.create(copy(trainable), tx)
+    s2, m2 = step(s2, frozen, sharded, rng, 0)
+    s3 = TrainState.create(copy(trainable), tx)
+    s3, m3 = step(s3, frozen, unsharded, rng, 0)
+    np.testing.assert_allclose(float(m2["loss"]), float(m3["loss"]), rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(s2.params),
+                    jax.tree_util.tree_leaves(s3.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
