@@ -1,0 +1,68 @@
+"""CLI entry smoke tests: single_task, multitask_infer (incl. gate dump)."""
+
+import dataclasses
+import sys
+
+import numpy as np
+import pytest
+
+
+def _tiny_argv(extra):
+    return ["--backbone", "facebook/bart-base", "--batch_size", "4",
+            "--feat_dim", "8", "--n_boxes", "4", "--synthetic_examples", "8",
+            "--epochs", "1", "--lr", "1e-3", "--gen_max_length", "4"] + extra
+
+
+@pytest.fixture(autouse=True)
+def tiny_backbone(monkeypatch):
+    """Force a tiny backbone through the CLI paths."""
+    from vlpet_tpu.config import BartConfig
+    import vlpet_tpu.cli.param as P
+
+    orig = P.build_model_config
+
+    def patched(args, tasks, vocab_size=None):
+        cfg = orig(args, tasks, vocab_size)
+        return dataclasses.replace(
+            cfg, backbone=BartConfig(vocab_size=50265, d_model=32,
+                                     encoder_layers=1, decoder_layers=1,
+                                     encoder_attention_heads=4,
+                                     decoder_attention_heads=4,
+                                     encoder_ffn_dim=64, decoder_ffn_dim=64,
+                                     max_position_embeddings=64, dropout=0.0))
+
+    monkeypatch.setattr(P, "build_model_config", patched)
+    for mod in ("vlpet_tpu.cli.multitask", "vlpet_tpu.cli.multitask_infer",
+                "vlpet_tpu.cli.single_task"):
+        if mod in sys.modules:
+            monkeypatch.setattr(sys.modules[mod], "build_model_config", patched,
+                                raising=False)
+    yield
+
+
+def test_single_task_caption(tmp_path):
+    from vlpet_tpu.cli.single_task import main
+
+    trainer, history = main("caption",
+                            _tiny_argv(["--output", str(tmp_path / "run")]))
+    assert np.isfinite(history[0]["train_loss"])
+
+
+def test_multitask_infer_gate_dump(tmp_path):
+    from vlpet_tpu.cli.multitask_infer import main
+
+    gate_dir = tmp_path / "gates"
+    trainer = main(_tiny_argv([
+        "--tasks", "vqa", "--use_store_gate_large",
+        "--store_gate_path", str(gate_dir),
+        "--output", str(tmp_path / "run"),
+        # VL-PET-large flags so large gates exist
+        "--use_adapter", "--use_single_adapter", "--no_encoder_adapter",
+        "--use_adapter_down_dim", "--use_encoder_adapter_down_multihead",
+        "--adapter_down_dim", "8", "--encoder_adapter_multihead_num_head", "4",
+        "--use_encoder_adapter_gating_large_x_lowrank",
+        "--adapter_gating_down_dim", "8", "--no_decoder_adapter",
+        "--use_decoder_enc_attn_value_parallel_adapter_down_dim",
+        "--decoder_enc_attn_value_parallel_adapter_down_dim", "8"]))
+    dumped = list(gate_dir.glob("*.npy"))
+    assert dumped, "no gate tensors dumped"
