@@ -59,7 +59,7 @@ def main():
     state = TrainState.create(trainable, tx)
     step = make_train_step(model, tx, tasks)
 
-    rng = jax.random.PRNGKey(0)
+    rng = jax.random.key(0, impl="rbg")  # TPU-native PRNG (see PERF.md)
     # warmup / compile
     for _ in range(3):
         rng, sub = jax.random.split(rng)

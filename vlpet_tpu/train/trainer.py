@@ -129,7 +129,9 @@ class Trainer:
         self.train_step = make_train_step(
             self.model, self.tx, self.tasks,
             lambda_z=(cfg.pet.lambda_z if cfg.pet.track_z else 0.0))
-        self.rng = jax.random.PRNGKey(seed + 1)
+        # rbg PRNG: TPU-native generator, ~8% faster train step than
+        # threefry at flagship shapes (dropout bit generation; see PERF.md)
+        self.rng = jax.random.key(seed + 1, impl="rbg")
         self.ckpt = (CheckpointManager(os.path.join(output_dir, "ckpt"))
                      if output_dir else None)
 
