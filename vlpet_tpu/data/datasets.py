@@ -176,7 +176,8 @@ class Loader:
 
     def __init__(self, dataset: TaskDataset, batch_size: int,
                  shuffle: bool = True, drop_last: bool = True,
-                 evaluator=None, shard: int = 0, num_shards: int = 1):
+                 evaluator=None, shard: int = 0, num_shards: int = 1,
+                 prefetch: int = 2):
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
@@ -185,6 +186,7 @@ class Loader:
         self.evaluator = evaluator
         self.shard = shard
         self.num_shards = num_shards
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -196,7 +198,7 @@ class Loader:
             return n // self.batch_size
         return -(-n // self.batch_size)
 
-    def __iter__(self) -> Iterator[Dict[str, Any]]:
+    def _produce(self) -> Iterator[Dict[str, Any]]:
         idx = np.arange(len(self.dataset))
         if self.shuffle:
             np.random.default_rng(self.epoch).shuffle(idx)
@@ -208,6 +210,34 @@ class Loader:
                 break
             batch = [self.dataset[int(i)] for i in sel]
             yield self.dataset.collate(batch)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        # batches come off a background thread (bounded queue) so feature IO
+        # and collation overlap the device step — the DataLoader-workers role
+        # of the reference (num_workers, multitask.py:87)
+        if self.prefetch <= 0:
+            yield from self._produce()
+            return
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        _END = object()
+
+        def worker():
+            try:
+                for item in self._produce():
+                    q.put(item)
+            finally:
+                q.put(_END)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is _END:
+                break
+            yield item
 
 
 # ---------------------------------------------------------------------------
