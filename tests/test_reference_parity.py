@@ -1,0 +1,270 @@
+"""Golden parity: the reference's own torch VL-PET layers (run as an oracle)
+vs the Flax layers on identical weights — the strongest hook-math check.
+
+The reference fork targets transformers 4.2.1; under the installed 4.57 the
+docstring decorators changed signature, so they are no-op patched before
+import. No reference code is vendored — it is executed read-only as a test
+oracle.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference/src"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference not mounted")
+
+import jax
+import jax.numpy as jnp
+
+from vlpet_tpu.config import BartConfig, VLModelConfig, VisConfig, vlpet_recipe
+from vlpet_tpu.models.bart import BartDecoderLayer, BartEncoderLayer
+from vlpet_tpu.pet.modules import PetContext
+
+D, HEADS, FFN, R, GATE = 32, 4, 64, 8, 8
+TASK = ("vqa",)
+
+
+@pytest.fixture(scope="module")
+def ref_mod():
+    sys.path.insert(0, REF)
+    import transformers.file_utils as fu
+
+    def _noop(*a, **k):
+        def deco(fn):
+            return fn
+
+        return deco
+
+    for name in ("add_code_sample_docstrings", "add_start_docstrings",
+                 "add_start_docstrings_to_model_forward", "add_end_docstrings",
+                 "replace_return_docstrings"):
+        setattr(fu, name, _noop)
+    import my_transformers.modeling_bart as rb
+
+    return rb
+
+
+def ref_config(decoder=False):
+    from adapters import AdapterConfig
+    from transformers import BartConfig as HFBartConfig
+
+    cfg = HFBartConfig(vocab_size=64, d_model=D, encoder_layers=2,
+                       decoder_layers=2, encoder_attention_heads=HEADS,
+                       decoder_attention_heads=HEADS, encoder_ffn_dim=FFN,
+                       decoder_ffn_dim=FFN, dropout=0.0, attention_dropout=0.0,
+                       activation_dropout=0.0)
+    ac = AdapterConfig()
+    ac.tasks = list(TASK)
+    ac.d_model = D
+    ac.input_dim = D
+    ac.use_single_adapter = True
+    ac.share_up_sampler = False
+    ac.share_down_sampler = False
+    ac.shared_phm_rule_over_tasks = False
+    ac.use_adapter_down_dim = False
+    ac.adapter_down_dim = R
+    ac.use_parallel_adapter = False
+    ac.use_scaling_factor = False
+    ac.track_z = False
+    cfg.adapter_config = ac
+    flags = dict(
+        use_lora=False, use_adapter=True, use_compacter=False,
+        use_lradapter=False, use_hyperformer=False,
+        no_encoder_adapter=True, no_decoder_adapter=True,
+        no_encoder_attn_adapter=False,
+        use_encoder_attn_value_parallel_adapter_down_dim=False,
+        use_encoder_attn_value_ia3=False,
+        use_encoder_adapter_gating_layernorm=False,
+        use_encoder_adapter_gating_l2norm=False,
+        use_encoder_adapter_gating_large_x=False,
+        use_encoder_adapter_gating_small_xy_cat=False,
+        use_encoder_adapter_gating_middle_xy_add=False,
+        use_encoder_adapter_gating_middle_ia3_add=False,
+        use_encoder_adapter_gating_large_x_lowrank=True,
+        adapter_gating_down_dim=GATE,
+        use_encoder_gating_large_x_lowrank=False,
+        use_encoder_adapter_down_multihead=True,
+        use_encoder_adapter_up_multihead=False,
+        use_encoder_adapter_down_up_multihead=False,
+        use_encoder_adapter_down_up_pair_multihead=False,
+        encoder_adapter_multihead_num_head=4, adapter_down_dim=R,
+        use_encoder_adapter_gating_add=False, use_encoder_gating_scaling=False,
+        use_encoder_gating_large_x_lowrank_add_x2_deltay=False,
+        use_store_gate_large=False, use_encoder_attn_adapter_scaling=False,
+        use_encoder_ff_adapter_scaling=False,
+        # decoder flags
+        use_decoder_self_attn_value_ia3=False,
+        use_decoder_self_attn_value_parallel_adapter_down_dim=False,
+        use_decoder_enc_attn_value_parallel_adapter_down_dim=True,
+        decoder_enc_attn_value_parallel_adapter_down_dim=R,
+        use_decoder_enc_attn_value_parallel_adapter_scaling=False,
+        use_decoder_enc_attn_key_parallel_adapter_down_dim=False,
+        use_decoder_enc_attn_value_sequential_adapter_down_dim=False,
+        use_decoder_enc_attn_value_ia3=False,
+        use_decoder_enc_attn_value_parallel_adapter_down_multihead=False,
+        use_decoder_enc_attn_value_parallel_adapter_down_up_pair_multihead=False,
+        use_decoder_enc_attn_value_residual_connection=False,
+        use_decoder_enc_attn_value_sequential_adapter_gating_large_x_lowrank=False,
+        use_decoder_enc_attn_value_parallel_adapter_gating_large_x_lowrank=False,
+        use_decoder_ff_ia3=False, add_adapter_cross_attn=True,
+        use_decoder_self_attn_adapter_down_dim=False,
+        use_decoder_enc_attn_adapter_down_dim=False,
+        use_decoder_ff_adapter_down_dim=False,
+        use_decoder_adapter_down_multihead=False,
+        use_decoder_enc_attn_key_value_adapter_down_dim=False,
+        use_decoder_enc_attn_adapter_gating_large_x_lowrank=False,
+        use_decoder_ff_ia3_add=False,
+    )
+    for k, v in flags.items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def my_cfg():
+    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    return VLModelConfig(
+        backbone=BartConfig(vocab_size=64, d_model=D, encoder_layers=2,
+                            decoder_layers=2, encoder_attention_heads=HEADS,
+                            decoder_attention_heads=HEADS, encoder_ffn_dim=FFN,
+                            decoder_ffn_dim=FFN, dropout=0.0),
+        vis=VisConfig(no_vis=True), pet=pet)
+
+
+def _t(x):
+    return np.asarray(x.detach())
+
+
+def copy_attn(p, tl, name):
+    for proj in ("q_proj", "k_proj", "v_proj", "out_proj"):
+        lin = getattr(tl, proj)
+        p[name][proj]["kernel"] = _t(lin.weight).T
+        p[name][proj]["bias"] = _t(lin.bias)
+
+
+def copy_ln(p, tln, name):
+    p[name]["scale"] = _t(tln.weight)
+    p[name]["bias"] = _t(tln.bias)
+
+
+GATE_FLAGS = {
+    "large": "use_encoder_adapter_gating_large_x_lowrank",
+    "small": "use_encoder_adapter_gating_small_xy_cat",
+    "middleX": "use_encoder_adapter_gating_middle_xy_add",
+    "middleY": "use_encoder_adapter_gating_middle_ia3_add",
+}
+
+
+@pytest.mark.parametrize("variant", sorted(GATE_FLAGS))
+def test_encoder_layer_vlpet_parity(ref_mod, variant):
+    tcfg = ref_config()
+    tcfg.use_encoder_adapter_gating_large_x_lowrank = False
+    setattr(tcfg, GATE_FLAGS[variant], True)
+    tl = ref_mod.BartEncoderLayer(tcfg).eval()
+
+    pet = vlpet_recipe(variant, r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    import dataclasses
+    cfg = dataclasses.replace(my_cfg(), pet=pet)
+    ml = BartEncoderLayer(cfg, 0)
+    x = np.random.default_rng(0).normal(size=(2, 5, D)).astype(np.float32)
+    mask = jnp.zeros((2, 1, 5, 5))
+    params = ml.init(jax.random.PRNGKey(0), jnp.asarray(x), mask,
+                     PetContext())["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    copy_attn(params, tl.self_attn, "self_attn")
+    copy_ln(params, tl.self_attn_layer_norm, "self_attn_layer_norm")
+    copy_ln(params, tl.final_layer_norm, "final_layer_norm")
+    for fc in ("fc1", "fc2"):
+        params[fc]["kernel"] = _t(getattr(tl, fc).weight).T
+        params[fc]["bias"] = _t(getattr(tl, fc).bias)
+    for prefix, tdown, tup in (("attn", tl.attn_adapter_multihead_down,
+                                tl.attn_adapter_multihead_up),
+                               ("ff", tl.ff_adapter_multihead_down,
+                                tl.ff_adapter_multihead_up)):
+        mh = params[f"{prefix}_adapter_multihead"]
+        mh["down_kernel"] = np.stack([_t(m.weight).T for m in tdown])
+        mh["down_bias"] = np.stack([_t(m.bias) for m in tdown])
+        mh["up"]["kernel"] = _t(tup.weight).T
+        mh["up"]["bias"] = _t(tup.bias)
+    for prefix in ("attn", "ff"):
+        if variant == "large":
+            tdn = getattr(tl, f"encoder_{prefix}_adapter_gating_large_x_down")
+            tup = getattr(tl, f"encoder_{prefix}_adapter_gating_large_x_up")
+            g = params[f"encoder_{prefix}_adapter_gating_large_x_lowrank"]
+            g["down"]["kernel"] = _t(tdn.weight).T
+            g["down"]["bias"] = _t(tdn.bias)
+            g["up"]["kernel"] = _t(tup.weight).T
+            g["up"]["bias"] = _t(tup.bias)
+        elif variant == "small":
+            tg = getattr(tl, f"encoder_{prefix}_adapter_gating_small_xy_cat")
+            g = params[f"encoder_{prefix}_adapter_gating_small_xy_cat"]
+            g["proj"]["kernel"] = _t(tg.weight).T
+            g["proj"]["bias"] = _t(tg.bias)
+        elif variant == "middleX":
+            tg = getattr(tl, f"encoder_{prefix}_adapter_gating_middle_xy_add")
+            g = params[f"encoder_{prefix}_adapter_gating_middle_xy_add"]
+            g["proj"]["kernel"] = _t(tg.weight).T
+            g["proj"]["bias"] = _t(tg.bias)
+        elif variant == "middleY":
+            tg = getattr(tl, f"encoder_{prefix}_adapter_gating_middle_ia3_add")
+            params[f"encoder_{prefix}_adapter_gating_middle_ia3_add"][
+                "gating_middle_ia3"] = _t(tg)
+
+    got = ml.apply({"params": params}, jnp.asarray(x), mask, PetContext())
+    with torch.no_grad():
+        want = tl(torch.tensor(x), torch.zeros(2, 1, 5, 5))[0].numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+def test_decoder_layer_vpa_parity(ref_mod):
+    tcfg = ref_config(decoder=True)
+    tl = ref_mod.BartDecoderLayer(tcfg).eval()
+
+    cfg = my_cfg()
+    ml = BartDecoderLayer(cfg, 0)
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(2, 4, D)).astype(np.float32)
+    enc = rng.normal(size=(2, 6, D)).astype(np.float32)
+    causal = np.triu(np.full((4, 4), -1e9, np.float32), 1)[None, None]
+    cross_mask = jnp.zeros((2, 1, 4, 6))
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = ml.init(jax.random.PRNGKey(0), jnp.asarray(x), ctx,
+                     encoder_hidden_states=jnp.asarray(enc),
+                     attention_mask=jnp.asarray(causal),
+                     encoder_attention_mask=cross_mask)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    copy_attn(params, tl.self_attn, "self_attn")
+    copy_attn(params, tl.encoder_attn, "encoder_attn")
+    copy_ln(params, tl.self_attn_layer_norm, "self_attn_layer_norm")
+    copy_ln(params, tl.encoder_attn_layer_norm, "encoder_attn_layer_norm")
+    copy_ln(params, tl.final_layer_norm, "final_layer_norm")
+    for fc in ("fc1", "fc2"):
+        params[fc]["kernel"] = _t(getattr(tl, fc).weight).T
+        params[fc]["bias"] = _t(getattr(tl, fc).bias)
+    # VPA: reference AdapterController with one task 'vqa'
+    tad = tl.encoder_attn.attn_value_parallel_adapter.adapters["vqa"]
+    vpa = params["encoder_attn"]["attn_value_parallel_adapter"]["adapters"]
+    vpa["down_sampler"]["kernel"] = _t(tad.down_sampler.weight).T
+    vpa["down_sampler"]["bias"] = _t(tad.down_sampler.bias)
+    vpa["up_sampler"]["kernel"] = _t(tad.up_sampler.weight).T
+    vpa["up_sampler"]["bias"] = _t(tad.up_sampler.bias)
+
+    got, _ = ml.apply({"params": params}, jnp.asarray(x), ctx,
+                      encoder_hidden_states=jnp.asarray(enc),
+                      attention_mask=jnp.asarray(causal),
+                      encoder_attention_mask=cross_mask)
+    with torch.no_grad():
+        want = tl(torch.tensor(x),
+                  attention_mask=torch.tensor(np.broadcast_to(
+                      causal, (2, 1, 4, 4)).copy()),
+                  encoder_hidden_states=torch.tensor(enc),
+                  encoder_attention_mask=torch.zeros(2, 1, 4, 6),
+                  task="vqa", use_cache=False)[0].numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
