@@ -268,3 +268,140 @@ def test_decoder_layer_vpa_parity(ref_mod):
                   encoder_attention_mask=torch.zeros(2, 1, 4, 6),
                   task="vqa", use_cache=False)[0].numpy()
     np.testing.assert_allclose(np.asarray(got), want, rtol=2e-4, atol=2e-5)
+
+
+# ---------------------------------------------------------------------------
+# T5 fork oracle
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_t5(ref_mod):
+    import transformers.modeling_utils as mu
+    from transformers.pytorch_utils import (
+        find_pruneable_heads_and_indices,
+        prune_linear_layer,
+    )
+
+    mu.find_pruneable_heads_and_indices = find_pruneable_heads_and_indices
+    mu.prune_linear_layer = prune_linear_layer
+    import my_transformers.modeling_t5 as rt
+
+    return rt
+
+
+def ref_t5_config():
+    from adapters import AdapterConfig
+    from transformers import T5Config as HFT5Config
+
+    cfg = HFT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN, num_layers=2,
+                     num_decoder_layers=2, num_heads=HEADS, dropout_rate=0.0,
+                     feed_forward_proj="relu", is_decoder=False)
+    ac = AdapterConfig()
+    ac.tasks = list(TASK)
+    ac.d_model = D
+    ac.input_dim = D
+    ac.use_single_adapter = True
+    ac.share_up_sampler = False
+    ac.share_down_sampler = False
+    ac.shared_phm_rule_over_tasks = False
+    ac.use_adapter_down_dim = True
+    ac.adapter_down_dim = R
+    ac.use_parallel_adapter = False
+    ac.use_scaling_factor = False
+    ac.track_z = False
+    cfg.adapter_config = ac
+    for k, v in dict(
+            use_adapter=True, use_compacter=False, use_lradapter=False,
+            use_hyperformer=False, no_encoder_adapter=True,
+            no_decoder_adapter=True,
+            use_encoder_adapter_down_multihead=True,
+            encoder_adapter_multihead_num_head=4, adapter_down_dim=R,
+            use_encoder_adapter_gating_large_x_lowrank=True,
+            adapter_gating_down_dim=GATE,
+            use_encoder_adapter_gating_small_xy_cat=False,
+            use_encoder_adapter_gating_middle_xy_add=False,
+            use_encoder_adapter_gating_middle_ia3_add=False,
+            use_encoder_adapter_scaling=False, use_encoder_x2_scaling=False,
+            use_encoder_gating_scaling=False,
+            use_decoder_self_attn_value_parallel_adapter_down_dim=False,
+            use_decoder_enc_attn_value_parallel_adapter_down_dim=True,
+            decoder_enc_attn_value_parallel_adapter_down_dim=R,
+            add_adapter_cross_attn=True).items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_t5_encoder_attn_layer_parity(ref_t5):
+    """T5LayerSelfAttention with multihead adapter + large gate vs my T5Block
+    self-attn sublayer (pre-LN hook chain, gate input = pre-norm x)."""
+    import dataclasses
+
+    from vlpet_tpu.config import T5Config as MyT5Config
+    from vlpet_tpu.models.t5 import T5Block
+
+    tcfg = ref_t5_config()
+    tl = ref_t5.T5LayerSelfAttention(tcfg, has_relative_attention_bias=False,
+                                     is_decoder=False).eval()
+    tff = ref_t5.T5LayerFF(tcfg, is_decoder=False).eval()
+
+    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    cfg = VLModelConfig(
+        backbone=MyT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN,
+                            num_layers=2, num_decoder_layers=2,
+                            num_heads=HEADS, dropout_rate=0.0),
+        vis=VisConfig(no_vis=True), pet=pet)
+    blk = T5Block(cfg, is_decoder=False, has_relative_attention_bias=False)
+    x = np.random.default_rng(2).normal(size=(2, 5, D)).astype(np.float32)
+    ctx = PetContext(task="vqa", task_idx=0)
+    bias = jnp.zeros((1, HEADS, 5, 5))
+    params = blk.init(jax.random.PRNGKey(0), jnp.asarray(x), ctx,
+                      position_bias=bias)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    # attention weights (T5: no bias)
+    for proj in ("q", "k", "v", "o"):
+        params["self_attn"][proj]["kernel"] = _t(
+            getattr(tl.SelfAttention, proj).weight).T
+    params["self_attn_layer_norm"]["scale"] = _t(tl.layer_norm.weight)
+    params["ff_layer_norm"]["scale"] = _t(tff.layer_norm.weight)
+    params["wi"]["kernel"] = _t(tff.DenseReluDense.wi.weight).T
+    params["wo"]["kernel"] = _t(tff.DenseReluDense.wo.weight).T
+    # hooks: attn sublayer
+    hooks = params["attn_hooks"]
+    hooks["attn_adapter_multihead"]["down_kernel"] = np.stack(
+        [_t(m.weight).T for m in tl.attn_adapter_multihead_down])
+    hooks["attn_adapter_multihead"]["down_bias"] = np.stack(
+        [_t(m.bias) for m in tl.attn_adapter_multihead_down])
+    hooks["attn_adapter_multihead"]["up"]["kernel"] = _t(
+        tl.attn_adapter_multihead_up.weight).T
+    hooks["attn_adapter_multihead"]["up"]["bias"] = _t(
+        tl.attn_adapter_multihead_up.bias)
+    g = hooks["encoder_attn_adapter_gating_large_x_lowrank"]
+    g["down"]["kernel"] = _t(tl.encoder_attn_adapter_gating_large_x_down.weight).T
+    g["down"]["bias"] = _t(tl.encoder_attn_adapter_gating_large_x_down.bias)
+    g["up"]["kernel"] = _t(tl.encoder_attn_adapter_gating_large_x_up.weight).T
+    g["up"]["bias"] = _t(tl.encoder_attn_adapter_gating_large_x_up.bias)
+    # hooks: ff sublayer
+    hooks = params["ff_hooks"]
+    hooks["ff_adapter_multihead"]["down_kernel"] = np.stack(
+        [_t(m.weight).T for m in tff.ff_adapter_multihead_down])
+    hooks["ff_adapter_multihead"]["down_bias"] = np.stack(
+        [_t(m.bias) for m in tff.ff_adapter_multihead_down])
+    hooks["ff_adapter_multihead"]["up"]["kernel"] = _t(
+        tff.ff_adapter_multihead_up.weight).T
+    hooks["ff_adapter_multihead"]["up"]["bias"] = _t(
+        tff.ff_adapter_multihead_up.bias)
+    g = hooks["encoder_ff_adapter_gating_large_x_lowrank"]
+    g["down"]["kernel"] = _t(tff.encoder_ff_adapter_gating_large_x_down.weight).T
+    g["down"]["bias"] = _t(tff.encoder_ff_adapter_gating_large_x_down.bias)
+    g["up"]["kernel"] = _t(tff.encoder_ff_adapter_gating_large_x_up.weight).T
+    g["up"]["bias"] = _t(tff.encoder_ff_adapter_gating_large_x_up.bias)
+
+    got, _ = blk.apply({"params": params}, jnp.asarray(x), ctx,
+                       position_bias=bias)
+    with torch.no_grad():
+        h = tl(torch.tensor(x), position_bias=torch.zeros(1, HEADS, 5, 5),
+               task="vqa")[0]
+        want = tff(h, None, "vqa").numpy()
+    np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
