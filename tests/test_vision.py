@@ -91,3 +91,75 @@ def test_raw_input_wrapper_end_to_end():
     names = [n for n, v in flatten_with_paths(mask)
              if v and "vis_encoder" in n]
     assert names and all("adapter" in n for n in names)
+
+
+def test_feature_extraction_tool(tmp_path):
+    """images → packed features readable by PackedFeatureSource."""
+    from vlpet_tpu.vision.extract import extract_features
+    from vlpet_tpu.data.features import PackedFeatureSource
+
+    rng = np.random.default_rng(0)
+    images = {f"img{i}": (rng.uniform(0, 255, (80, 96, 3))).astype(np.uint8)
+              for i in range(5)}
+    prefix = str(tmp_path / "packed")
+    extract_features(lambda i: images[i], list(images), prefix,
+                     backbone="RN50", image_size=64, batch_size=2)
+    src = PackedFeatureSource(prefix)
+    f, b = src.get("img3")
+    assert f.shape == (4, 2048)  # 64/32=2 → 4 grid tokens
+    assert b.shape == (4, 4)
+    assert np.isfinite(f).all()
+
+
+def test_raw_end_to_end_training_step():
+    """Raw path: gradients flow into the conv VisualAdapters while the CLIP
+    trunk stays frozen."""
+    from vlpet_tpu.config import BartConfig, PetConfig, VLModelConfig, VisConfig
+    from vlpet_tpu.vision.vis_encoder import RawInputVLModel
+    from vlpet_tpu.pet.modules import PetContext
+    from vlpet_tpu.train.freezing import split_params, trainable_mask
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_raw_train_step
+
+    pet = PetConfig(use_vis_adapter=True, use_adapter=True,
+                    use_single_adapter=True)
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=64, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=64,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=2048, n_boxes=4), pet=pet)
+    m = RawInputVLModel(cfg, vis_backbone="RN50", image_size=64,
+                        vis_adapter_type="middle-bottleneck",
+                        vis_reduction_factor=2)
+    rng = np.random.default_rng(0)
+    batch = dict(
+        input_ids=jnp.asarray(rng.integers(3, 64, (2, 4)), jnp.int32),
+        attention_mask=jnp.ones((2, 4), jnp.int32),
+        images=jnp.asarray(rng.normal(size=(2, 64, 64, 3)), jnp.float32),
+        target_ids=jnp.asarray(rng.integers(3, 64, (2, 3)), jnp.int32),
+        scores=jnp.ones((2,), jnp.float32))
+    variables = m.init(jax.random.PRNGKey(0), batch["input_ids"],
+                       batch["attention_mask"], batch["images"],
+                       labels=batch["target_ids"], ctx=PetContext())
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats")
+    mask = trainable_mask(params, pet)
+    trainable, frozen = split_params(params, mask)
+    tx = build_optimizer(trainable, lr=1e-3, total_steps=5)
+    state = TrainState.create(trainable, tx)
+    step = make_raw_train_step(m, tx, ("vqa",))
+    before = jax.tree_util.tree_map(lambda x: np.asarray(x).copy(),
+                                    state.params)
+    state, metrics = step(state, frozen, batch_stats, batch,
+                          jax.random.PRNGKey(1), 0)
+    state, metrics = step(state, frozen, batch_stats, batch,
+                          jax.random.PRNGKey(2), 0)
+    assert np.isfinite(float(metrics["loss"]))
+    from vlpet_tpu.train.freezing import flatten_with_paths
+    moved = {n: not np.allclose(a, np.asarray(b))
+             for (n, a), (_, b) in zip(flatten_with_paths(before),
+                                       flatten_with_paths(state.params))}
+    assert any(v for n, v in moved.items() if "vis_encoder" in n), \
+        "vis adapters did not receive gradients"

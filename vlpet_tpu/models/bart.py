@@ -726,7 +726,14 @@ class JointEncoder(nn.Module):
             vf, bx = vis_inputs[0], vis_inputs[1]
             io = vis_inputs[2] if len(vis_inputs) == 4 else img_order_ids
             oo = vis_inputs[3] if len(vis_inputs) == 4 else obj_order_ids
-            ve_cls = LowRankVisualEmbedding if v.use_lowrank_visual_projector else VisualEmbedding
+            if v.expand_vis_embedding:
+                from vlpet_tpu.models.visual import ExpandVisualEmbedding
+
+                ve_cls = ExpandVisualEmbedding
+            elif v.use_lowrank_visual_projector:
+                ve_cls = LowRankVisualEmbedding
+            else:
+                ve_cls = VisualEmbedding
             vis_embeds = ve_cls(v, b.d_model, init_std=b.init_std, dtype=dt,
                                 name="visual_embedding")(vf, bx, shared_embedding,
                                                          img_order_ids=io,

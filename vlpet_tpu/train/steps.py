@@ -139,3 +139,37 @@ def make_nlvr_score_step(model, tasks: Tuple[str, ...], true_token_id: int,
         return nlvr_predict(out["logits"], true_token_id, false_token_id, position)
 
     return score_step
+
+
+def make_raw_train_step(model, tx, tasks: Tuple[str, ...]):
+    """Train step for the raw-image path (RawInputVLModel): images go through
+    the CLIP trunk inside the same XLA program, so --unfreeze_vis_encoder /
+    --use_vis_adapter gradients flow end-to-end (the reference's raw_*
+    feature_type, multitask.py:648-660 + vis_forward)."""
+
+    @partial(jax.jit, static_argnums=(5,), donate_argnums=(0,))
+    def train_step(state: TrainState, frozen, batch_stats, batch: Dict[str, Any],
+                   rng, task_idx: int):
+        task = tasks[task_idx]
+        ctx = PetContext(task=task, task_idx=task_idx)
+
+        def loss_fn(trainable):
+            params = merge_params(trainable, frozen)
+            variables = {"params": params}
+            if batch_stats is not None:
+                variables["batch_stats"] = batch_stats  # frozen BN statistics
+            out = model.apply(variables, batch["input_ids"],
+                              batch["attention_mask"], batch["images"],
+                              labels=batch["target_ids"], ctx=ctx,
+                              deterministic=False, rngs={"dropout": rng})
+            return task_loss(task, out["loss"], batch["target_ids"],
+                             batch.get("scores"))
+
+        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return (TrainState(step=state.step + 1, params=new_params,
+                           opt_state=new_opt_state),
+                {"loss": loss, "grad_norm": optax.global_norm(grads)})
+
+    return train_step
