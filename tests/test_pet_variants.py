@@ -196,3 +196,40 @@ def test_attn_prefix_cache_parity():
         steps.append(lg)
     got = np.asarray(jnp.stack(steps, 1))
     np.testing.assert_allclose(got, np.asarray(full), rtol=2e-4, atol=2e-4)
+
+
+def test_visual_prefix_encoder():
+    """PrefixJointEncoder semantics: visual features become per-layer KV
+    prefixes, sequence length stays text-only."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from vlpet_tpu.config import PetConfig, VisConfig, VLModelConfig
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=50, d_model=32, encoder_layers=2,
+                            decoder_layers=2, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=32,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=16, n_boxes=4, use_vis_prefix=True),
+        pet=PetConfig())
+    m = VLBart(cfg)
+    rng = np.random.default_rng(0)
+    kw = dict(input_ids=jnp.asarray(rng.integers(3, 50, (2, 5)), jnp.int32),
+              attention_mask=jnp.ones((2, 5), jnp.int32),
+              vis_feats=jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32),
+              boxes=jnp.zeros((2, 4, 4)),
+              labels=jnp.asarray(rng.integers(3, 50, (2, 3)), jnp.int32))
+    ctx = PetContext()
+    params = m.init(jax.random.PRNGKey(0), **kw, ctx=ctx)["params"]
+    out = m.apply({"params": params}, **kw, ctx=ctx)
+    # encoder output length == text length (no vis concat)
+    assert out["encoder_last_hidden_state"].shape[1] == 5
+    assert np.isfinite(np.asarray(out["loss"])).all()
+    # visual features must influence the output: change feats, logits change
+    kw2 = dict(kw, vis_feats=kw["vis_feats"] + 1.0)
+    out2 = m.apply({"params": params}, **kw2, ctx=ctx)
+    assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))

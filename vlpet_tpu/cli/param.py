@@ -297,6 +297,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--no_vis", action="store_true")
     add("--freeze_vis_emb", action="store_true")
     add("--use_vis_noise", action="store_true")
+    add("--use_vis_prefix", action="store_true",
+        help="feed visual features as per-layer KV prefixes (PrefixJointEncoder)")
     add("--use_lowrank_visual_projector", action="store_true")
     add("--visual_projector_down_dim", type=int, default=96)
     add("--visual_projector_multihead_num_head", type=int, default=1)

@@ -368,6 +368,10 @@ class VisConfig:
     n_image_tokens: int = 4
     vis_use_transformer: bool = False
     additional_visual_embedding_layers: int = 0
+    # prefix-variant: feed visual features as per-encoder-layer KV prompts
+    # instead of sequence concat (reference: PrefixJointEncoder,
+    # modeling_bart.py:901-1085 + ResidualVisualEmbedding :442)
+    use_vis_prefix: bool = False
     # VL-PET lightweight visual projector (reference: modeling_bart.py:195)
     use_lowrank_visual_projector: bool = False
     visual_projector_down_dim: int = 96

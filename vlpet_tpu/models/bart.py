@@ -715,7 +715,28 @@ class JointEncoder(nn.Module):
                 [jnp.ones((B, prefix.shape[1]), attention_mask.dtype), attention_mask],
                 axis=1)
 
-        if not v.no_vis and vis_feats is not None:
+        vis_prefix_kvs = None
+        if not v.no_vis and vis_feats is not None and v.use_vis_prefix:
+            # prefix variant: visual tokens become per-layer attention KV
+            # context; nothing is concatenated to the sequence
+            from vlpet_tpu.pet.prefix import ResidualVisualPrefix
+
+            vis_inputs = (vis_feats, boxes)
+            if v.oneddownsample:
+                vis_inputs = downsample_vis(vis_inputs, v.n_boxes, oned=True)
+            elif v.downsample:
+                vis_inputs = downsample_vis(vis_inputs, v.n_boxes)
+            vf = vis_inputs[0]
+            vis_prefix_kvs = ResidualVisualPrefix(
+                v.feat_dim, b.encoder_layers, b.encoder_attention_heads,
+                b.d_model, init_std=b.init_std, dtype=dt,
+                name="visual_embedding")(vf)
+            if vis_attention_mask is None:
+                vis_attention_mask = jnp.ones((B, vf.shape[1]),
+                                              attention_mask.dtype)
+            h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(inputs_embeds)
+            joint_mask = attention_mask
+        elif not v.no_vis and vis_feats is not None:
             vis_inputs = (vis_feats, boxes)
             if img_order_ids is not None:
                 vis_inputs = (vis_feats, boxes, img_order_ids, obj_order_ids)
@@ -762,7 +783,15 @@ class JointEncoder(nn.Module):
         attn_mask = expand_mask(joint_mask, h.shape[1], dt)
 
         prefix_kvs = None
-        if c.pet.use_attn_prefix and c.pet.encoder_prompt_len > 0:
+        if vis_prefix_kvs is not None:
+            prefix_kvs = vis_prefix_kvs
+            P = vis_prefix_kvs[0][0].shape[1]
+            vm = jnp.broadcast_to(
+                vis_attention_mask[:, None, None, :].astype(dt),
+                (B, 1, attn_mask.shape[2], P))
+            attn_mask = jnp.concatenate([(1.0 - vm) * NEG_INF, attn_mask],
+                                        axis=-1)
+        elif c.pet.use_attn_prefix and c.pet.encoder_prompt_len > 0:
             from vlpet_tpu.pet.prefix import AttnPrefixController
 
             prefix_kvs = AttnPrefixController(
