@@ -405,3 +405,176 @@ def test_t5_encoder_attn_layer_parity(ref_t5):
                task="vqa")[0]
         want = tff(h, None, "vqa").numpy()
     np.testing.assert_allclose(np.asarray(got), want, rtol=3e-4, atol=3e-5)
+
+
+# ---------------------------------------------------------------------------
+# Whole-model oracle: reference VLBart (VL glue + visual embedding + hooks)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ref_vl(ref_mod):
+    """Import the reference's VL layer, shimming upstream symbols that moved
+    after transformers 4.2.1."""
+    import transformers.models.bart.modeling_bart as ub
+    import transformers.modeling_utils as mu
+    from transformers.pytorch_utils import (
+        find_pruneable_heads_and_indices,
+        prune_linear_layer,
+    )
+
+    mu.find_pruneable_heads_and_indices = find_pruneable_heads_and_indices
+    mu.prune_linear_layer = prune_linear_layer
+    import transformers
+
+    for name in ("BeamScorer", "BeamSearchScorer", "LogitsProcessorList",
+                 "StoppingCriteriaList"):
+        if not hasattr(transformers, name):
+            setattr(transformers, name, object)
+    ub._make_causal_mask = ref_mod._make_causal_mask
+    ub._expand_mask = ref_mod._expand_mask
+    if not hasattr(ub, "BartPretrainedModel"):
+        ub.BartPretrainedModel = ub.BartPreTrainedModel
+    if not hasattr(ub, "ACT2FN"):
+        from transformers.activations import ACT2FN
+
+        ub.ACT2FN = ACT2FN
+    import modeling_bart as rvl
+
+    return rvl
+
+
+FEAT, NBOX = 16, 4
+
+
+def vl_ref_config():
+    cfg = ref_config()
+    for k, v in dict(
+            feat_dim=FEAT, pos_dim=4, n_images=2, n_boxes=NBOX,
+            use_vis_order_embedding=True, use_vis_layer_norm=True,
+            individual_vis_layer_norm=True, share_vis_lang_layer_norm=False,
+            no_vis=False, use_lowrank_visual_projector=False,
+            expand_vis_embedding=False, oneddownsample=False, downsample=False,
+            sparse_sample=False, vis_use_transformer=False,
+            encoder_prompt_config=None, decoder_prompt_config=None,
+            use_lm_head_adapter=False, default_obj_order_ids=None,
+            encoder_layerdrop=0.0, decoder_layerdrop=0.0,
+            dropout=0.0).items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_full_vlbart_forward_parity(ref_vl):
+    """Full reference VLBart (VL-PET-large) vs my VLBart on identical
+    weights: visual embedding, joint mask, all hooks, lm head, CE loss."""
+    import dataclasses
+
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.models.heads import vqa_loss
+
+    torch.manual_seed(0)
+    tcfg = vl_ref_config()
+    tm = ref_vl.VLBart(tcfg).eval()
+
+    cfg = dataclasses.replace(
+        my_cfg(), vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX))
+    mm = VLBart(cfg)
+    rng = np.random.default_rng(3)
+    B, L, T = 2, 5, 4
+    input_ids = rng.integers(3, 60, (B, L)).astype(np.int64)
+    attn = np.ones((B, L), np.int64)
+    attn[1, -1] = 0
+    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
+    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
+    labels = rng.integers(3, 60, (B, T)).astype(np.int64)
+    labels[1, -1] = -100
+
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
+                     jnp.asarray(attn, jnp.int32),
+                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
+                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    # --- weight copy ------------------------------------------------------
+    params["model"]["shared"] = _t(tm.model.shared.weight)
+    params["final_logits_bias"] = _t(tm.final_logits_bias)
+    for stack, tstack in (("encoder", tm.model.encoder),
+                          ("decoder", tm.model.decoder)):
+        p = params["model"][stack]
+        p["embed_positions"] = _t(tstack.embed_positions.weight)
+        copy_ln(p, tstack.layernorm_embedding, "layernorm_embedding")
+    # visual embedding
+    tv = tm.model.encoder.visual_embedding
+    pv = params["model"]["encoder"]["visual_embedding"]
+    pv["feat_embedding"]["kernel"] = _t(tv.feat_embedding[0].weight).T
+    pv["feat_embedding"]["bias"] = _t(tv.feat_embedding[0].bias)
+    copy_ln(pv, tv.feat_embedding[1], "feat_layer_norm")
+    pv["absolute_vis_pos_embedding"]["kernel"] = _t(
+        tv.absolute_vis_pos_embedding[0].weight).T
+    pv["absolute_vis_pos_embedding"]["bias"] = _t(
+        tv.absolute_vis_pos_embedding[0].bias)
+    copy_ln(pv, tv.absolute_vis_pos_embedding[1], "absolute_vis_pos_layer_norm")
+    pv["img_order_embedding"] = _t(tv.img_order_embedding.weight)
+    # encoder layers (VL-PET-large hooks)
+    for i, tl in enumerate(tm.model.encoder.layers):
+        p = params["model"]["encoder"][f"layers_{i}"]
+        copy_attn(p, tl.self_attn, "self_attn")
+        copy_ln(p, tl.self_attn_layer_norm, "self_attn_layer_norm")
+        copy_ln(p, tl.final_layer_norm, "final_layer_norm")
+        for fc in ("fc1", "fc2"):
+            p[fc]["kernel"] = _t(getattr(tl, fc).weight).T
+            p[fc]["bias"] = _t(getattr(tl, fc).bias)
+        for prefix, tdown, tup in (("attn", tl.attn_adapter_multihead_down,
+                                    tl.attn_adapter_multihead_up),
+                                   ("ff", tl.ff_adapter_multihead_down,
+                                    tl.ff_adapter_multihead_up)):
+            mh = p[f"{prefix}_adapter_multihead"]
+            mh["down_kernel"] = np.stack([_t(m.weight).T for m in tdown])
+            mh["down_bias"] = np.stack([_t(m.bias) for m in tdown])
+            mh["up"]["kernel"] = _t(tup.weight).T
+            mh["up"]["bias"] = _t(tup.bias)
+        for prefix in ("attn", "ff"):
+            tdn = getattr(tl, f"encoder_{prefix}_adapter_gating_large_x_down")
+            tup2 = getattr(tl, f"encoder_{prefix}_adapter_gating_large_x_up")
+            g = p[f"encoder_{prefix}_adapter_gating_large_x_lowrank"]
+            g["down"]["kernel"] = _t(tdn.weight).T
+            g["down"]["bias"] = _t(tdn.bias)
+            g["up"]["kernel"] = _t(tup2.weight).T
+            g["up"]["bias"] = _t(tup2.bias)
+    # decoder layers (VPA)
+    for i, tl in enumerate(tm.model.decoder.layers):
+        p = params["model"]["decoder"][f"layers_{i}"]
+        copy_attn(p, tl.self_attn, "self_attn")
+        copy_attn(p, tl.encoder_attn, "encoder_attn")
+        copy_ln(p, tl.self_attn_layer_norm, "self_attn_layer_norm")
+        copy_ln(p, tl.encoder_attn_layer_norm, "encoder_attn_layer_norm")
+        copy_ln(p, tl.final_layer_norm, "final_layer_norm")
+        for fc in ("fc1", "fc2"):
+            p[fc]["kernel"] = _t(getattr(tl, fc).weight).T
+            p[fc]["bias"] = _t(getattr(tl, fc).bias)
+        tad = tl.encoder_attn.attn_value_parallel_adapter.adapters["vqa"]
+        vpa = p["encoder_attn"]["attn_value_parallel_adapter"]["adapters"]
+        vpa["down_sampler"]["kernel"] = _t(tad.down_sampler.weight).T
+        vpa["down_sampler"]["bias"] = _t(tad.down_sampler.bias)
+        vpa["up_sampler"]["kernel"] = _t(tad.up_sampler.weight).T
+        vpa["up_sampler"]["bias"] = _t(tad.up_sampler.bias)
+
+    # --- compare -----------------------------------------------------------
+    out = mm.apply({"params": params}, jnp.asarray(input_ids, jnp.int32),
+                   jnp.asarray(attn, jnp.int32), vis_feats=jnp.asarray(feats),
+                   boxes=jnp.asarray(boxes),
+                   labels=jnp.asarray(labels, jnp.int32), ctx=ctx)
+    with torch.no_grad():
+        tout = tm(input_ids=torch.tensor(input_ids),
+                  attention_mask=torch.tensor(attn),
+                  vis_inputs=(torch.tensor(feats), torch.tensor(boxes)),
+                  labels=torch.tensor(labels), task="vqa", return_dict=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               tout.logits.numpy(), rtol=3e-4, atol=3e-5)
+    # per-token CE matches (reference returns flat (B*T,) with reduction none)
+    ref_loss = tout.loss.numpy().reshape(B, T)
+    my_loss = np.asarray(out["loss"])
+    mask = labels != -100
+    np.testing.assert_allclose(my_loss[mask], ref_loss[mask], rtol=3e-4,
+                               atol=3e-5)
