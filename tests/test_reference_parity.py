@@ -296,7 +296,8 @@ def ref_t5_config():
 
     cfg = HFT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN, num_layers=2,
                      num_decoder_layers=2, num_heads=HEADS, dropout_rate=0.0,
-                     feed_forward_proj="relu", is_decoder=False)
+                     feed_forward_proj="relu", is_decoder=False,
+                     decoder_start_token_id=0, pad_token_id=0, eos_token_id=1)
     ac = AdapterConfig()
     ac.tasks = list(TASK)
     ac.d_model = D
@@ -578,3 +579,163 @@ def test_full_vlbart_forward_parity(ref_vl):
     mask = labels != -100
     np.testing.assert_allclose(my_loss[mask], ref_loss[mask], rtol=3e-4,
                                atol=3e-5)
+
+
+@pytest.fixture(scope="module")
+def ref_t5_vl(ref_vl, ref_t5):
+    import modeling_t5 as rt5vl
+
+    return rt5vl
+
+
+def vl_ref_t5_config():
+    cfg = ref_t5_config()
+    for k, v in dict(
+            feat_dim=FEAT, pos_dim=4, n_images=2, n_boxes=NBOX,
+            use_vis_order_embedding=True, use_vis_layer_norm=True,
+            individual_vis_layer_norm=True, share_vis_lang_layer_norm=False,
+            no_vis=False, use_lowrank_visual_projector=False,
+            expand_vis_embedding=False, oneddownsample=False, downsample=False,
+            sparse_sample=False, vis_use_transformer=False,
+            encoder_prompt_config=None, decoder_prompt_config=None,
+            use_lm_head_adapter=False, default_obj_order_ids=None,
+            additional_visual_embedding_layers=0, dropout=0.0,
+            losses="lm", classifier=False).items():
+        setattr(cfg, k, v)
+    return cfg
+
+
+def test_full_vlt5_forward_parity(ref_t5_vl):
+    """Full reference VLT5 (VL-PET recipe) vs my VLT5: block-diagonal
+    relative bias, visual embedding (T5 LN), tied-head rescale, hooks."""
+    import dataclasses
+
+    from vlpet_tpu.config import T5Config as MyT5Config
+    from vlpet_tpu.models.t5 import VLT5
+
+    torch.manual_seed(1)
+    tcfg = vl_ref_t5_config()
+    tm = ref_t5_vl.VLT5(tcfg).eval()
+
+    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    cfg = VLModelConfig(
+        backbone=MyT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN,
+                            num_layers=2, num_decoder_layers=2,
+                            num_heads=HEADS, dropout_rate=0.0),
+        vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX), pet=pet)
+    mm = VLT5(cfg)
+    rng = np.random.default_rng(4)
+    B, L, T = 2, 5, 4
+    input_ids = rng.integers(2, 60, (B, L)).astype(np.int64)
+    attn = np.ones((B, L), np.int64)
+    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
+    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
+    labels = rng.integers(2, 60, (B, T)).astype(np.int64)
+
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
+                     jnp.asarray(attn, jnp.int32),
+                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
+                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+
+    params["model"]["shared"] = _t(tm.shared.weight)
+    for stack, tstack, n_blocks in (("encoder", tm.encoder, 2),
+                                    ("decoder", tm.decoder, 2)):
+        p = params["model"][stack]
+        p["final_layer_norm"]["scale"] = _t(tstack.final_layer_norm.weight)
+        for i in range(n_blocks):
+            tb = tstack.block[i]
+            pb = p[f"blocks_{i}"]
+            # self-attn
+            tsa = tb.layer[0]
+            for proj in ("q", "k", "v", "o"):
+                pb["self_attn"][proj]["kernel"] = _t(
+                    getattr(tsa.SelfAttention, proj).weight).T
+            if i == 0:
+                pb["self_attn"]["relative_attention_bias"] = _t(
+                    tsa.SelfAttention.relative_attention_bias.weight)
+            pb["self_attn_layer_norm"]["scale"] = _t(tsa.layer_norm.weight)
+            if stack == "encoder":
+                hooks = pb["attn_hooks"]
+                hooks["attn_adapter_multihead"]["down_kernel"] = np.stack(
+                    [_t(m.weight).T for m in tsa.attn_adapter_multihead_down])
+                hooks["attn_adapter_multihead"]["down_bias"] = np.stack(
+                    [_t(m.bias) for m in tsa.attn_adapter_multihead_down])
+                hooks["attn_adapter_multihead"]["up"]["kernel"] = _t(
+                    tsa.attn_adapter_multihead_up.weight).T
+                hooks["attn_adapter_multihead"]["up"]["bias"] = _t(
+                    tsa.attn_adapter_multihead_up.bias)
+                g = hooks["encoder_attn_adapter_gating_large_x_lowrank"]
+                g["down"]["kernel"] = _t(
+                    tsa.encoder_attn_adapter_gating_large_x_down.weight).T
+                g["down"]["bias"] = _t(
+                    tsa.encoder_attn_adapter_gating_large_x_down.bias)
+                g["up"]["kernel"] = _t(
+                    tsa.encoder_attn_adapter_gating_large_x_up.weight).T
+                g["up"]["bias"] = _t(
+                    tsa.encoder_attn_adapter_gating_large_x_up.bias)
+            # cross-attn (decoder)
+            ff_idx = 1
+            if stack == "decoder":
+                tca = tb.layer[1]
+                ff_idx = 2
+                for proj in ("q", "k", "v", "o"):
+                    pb["cross_attn"][proj]["kernel"] = _t(
+                        getattr(tca.EncDecAttention, proj).weight).T
+                pb["cross_attn_layer_norm"]["scale"] = _t(tca.layer_norm.weight)
+                tad = tca.EncDecAttention.attn_value_parallel_adapter.adapters["vqa"]
+                vpa = pb["cross_attn"]["attn_value_parallel_adapter"]["adapters"]
+                vpa["down_sampler"]["kernel"] = _t(tad.down_sampler.weight).T
+                vpa["down_sampler"]["bias"] = _t(tad.down_sampler.bias)
+                vpa["up_sampler"]["kernel"] = _t(tad.up_sampler.weight).T
+                vpa["up_sampler"]["bias"] = _t(tad.up_sampler.bias)
+            # ff
+            tff = tb.layer[ff_idx]
+            pb["ff_layer_norm"]["scale"] = _t(tff.layer_norm.weight)
+            pb["wi"]["kernel"] = _t(tff.DenseReluDense.wi.weight).T
+            pb["wo"]["kernel"] = _t(tff.DenseReluDense.wo.weight).T
+            if stack == "encoder":
+                hooks = pb["ff_hooks"]
+                hooks["ff_adapter_multihead"]["down_kernel"] = np.stack(
+                    [_t(m.weight).T for m in tff.ff_adapter_multihead_down])
+                hooks["ff_adapter_multihead"]["down_bias"] = np.stack(
+                    [_t(m.bias) for m in tff.ff_adapter_multihead_down])
+                hooks["ff_adapter_multihead"]["up"]["kernel"] = _t(
+                    tff.ff_adapter_multihead_up.weight).T
+                hooks["ff_adapter_multihead"]["up"]["bias"] = _t(
+                    tff.ff_adapter_multihead_up.bias)
+                g = hooks["encoder_ff_adapter_gating_large_x_lowrank"]
+                g["down"]["kernel"] = _t(
+                    tff.encoder_ff_adapter_gating_large_x_down.weight).T
+                g["down"]["bias"] = _t(
+                    tff.encoder_ff_adapter_gating_large_x_down.bias)
+                g["up"]["kernel"] = _t(
+                    tff.encoder_ff_adapter_gating_large_x_up.weight).T
+                g["up"]["bias"] = _t(
+                    tff.encoder_ff_adapter_gating_large_x_up.bias)
+    # visual embedding (T5 flavor)
+    tv = tm.encoder.visual_embedding
+    pv = params["model"]["encoder"]["visual_embedding"]
+    pv["feat_embedding"]["kernel"] = _t(tv.feat_embedding[0].weight).T
+    pv["feat_embedding"]["bias"] = _t(tv.feat_embedding[0].bias)
+    pv["feat_layer_norm"]["scale"] = _t(tv.feat_embedding[1].weight)
+    pv["absolute_vis_pos_embedding"]["kernel"] = _t(
+        tv.absolute_vis_pos_embedding[0].weight).T
+    pv["absolute_vis_pos_embedding"]["bias"] = _t(
+        tv.absolute_vis_pos_embedding[0].bias)
+    pv["absolute_vis_pos_layer_norm"]["scale"] = _t(
+        tv.absolute_vis_pos_embedding[1].weight)
+    pv["img_order_embedding"] = _t(tv.img_order_embedding.weight)
+
+    out = mm.apply({"params": params}, jnp.asarray(input_ids, jnp.int32),
+                   jnp.asarray(attn, jnp.int32), vis_feats=jnp.asarray(feats),
+                   boxes=jnp.asarray(boxes),
+                   labels=jnp.asarray(labels, jnp.int32), ctx=ctx)
+    with torch.no_grad():
+        tout = tm(input_ids=torch.tensor(input_ids),
+                  attention_mask=torch.tensor(attn),
+                  vis_inputs=(torch.tensor(feats), torch.tensor(boxes)),
+                  labels=torch.tensor(labels), task="vqa", return_dict=True)
+    np.testing.assert_allclose(np.asarray(out["logits"]),
+                               tout.logits.numpy(), rtol=3e-4, atol=3e-5)
