@@ -710,7 +710,8 @@ class VLT5(nn.Module):
         if b.tie_word_embeddings:
             dec_out = dec_out * (b.d_model ** -0.5)
             logits = jnp.einsum("btd,vd->btv", dec_out,
-                                self.model.shared.astype(dec_out.dtype))
+                                self.model.shared.astype(dec_out.dtype),
+                                preferred_element_type=jnp.float32)
         else:
             logits = self.lm_head(dec_out)
         return logits.astype(jnp.float32)

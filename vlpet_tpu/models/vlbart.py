@@ -154,9 +154,12 @@ class VLBart(nn.Module):
         return ctx
 
     def _logits(self, dec_out: Array) -> Array:
+        # fp32 accumulation straight out of the MXU: avoids materializing a
+        # bf16 (B, T, V) tensor plus a separate fp32 conversion pass
         logits = jnp.einsum("btd,vd->btv", dec_out,
-                            self.model.shared.astype(dec_out.dtype))
-        logits = logits.astype(jnp.float32) + self.final_logits_bias
+                            self.model.shared.astype(dec_out.dtype),
+                            preferred_element_type=jnp.float32)
+        logits = logits + self.final_logits_bias
         if self.output_adapter is not None:
             logits = logits + self.output_adapter(dec_out).astype(jnp.float32)
         return logits
