@@ -73,3 +73,46 @@ def test_video_multitask_end_to_end(tmp_path):
     assert np.isfinite(m["train_loss"])
     assert "tvqa/overall" in m
     assert "tvc/CIDEr" in m
+
+
+def test_matching_variant():
+    """TVQA matching formulation: 5 true/false rows per question, argmax
+    scoring (reference: video_matching_model.py + tvqa_matching_data.py)."""
+    from vlpet_tpu.data.video import (
+        MatchingEvaluator,
+        expand_matching_examples,
+        synthetic_video_data,
+    )
+    from vlpet_tpu.data.datasets import DatasetConfig, Loader, TaskDataset
+    from vlpet_tpu.train.trainer import Trainer, predict_matching
+    import dataclasses
+    from vlpet_tpu.config import BartConfig
+    from vlpet_tpu.cli.param import build_model_config, parse_args
+
+    examples, source, _ = synthetic_video_data("tvqa", 4, n_frames=4,
+                                               feat_dim=8)
+    rows = expand_matching_examples(examples)
+    assert len(rows) == 20
+    assert sum(r["answer"] == "true" for r in rows) == 4
+
+    tok = WhitespaceTokenizer(vocab_size=512)
+    args = parse_args(["--tasks", "tvqa", "--backbone", "facebook/bart-base",
+                       "--feat_dim", "8", "--n_boxes", "4"])
+    cfg = dataclasses.replace(
+        build_model_config(args, ("tvqa",), vocab_size=512),
+        backbone=BartConfig(vocab_size=512, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=768,
+                            dropout=0.0))
+    ds = TaskDataset(DatasetConfig(task="tvqa", max_text_length=64,
+                                   gen_max_length=4, n_boxes=4, feat_dim=8),
+                     rows, source, tok)
+    loader = Loader(ds, 5, shuffle=False, drop_last=False)
+    trainer = Trainer(cfg, ("tvqa",), lr=1e-3, total_steps=2, tokenizer=tok,
+                      verbose=False)
+    groups = predict_matching(trainer, loader)
+    assert len(groups) == 4 and all(len(v) == 5 for v in groups.values())
+    ev = MatchingEvaluator(examples)
+    res = ev.evaluate(groups)
+    assert 0.0 <= res["overall"] <= 1.0

@@ -148,3 +148,55 @@ def synthetic_video_data(task: str, n: int, n_frames: int = 64,
     else:
         evaluator = TVCEvaluator()
     return examples, DictFeatureSource(feats), evaluator
+
+
+# ---------------------------------------------------------------------------
+# Matching variant (reference: src/video/tvqa_matching_data.py,
+# video_matching_model.py): each multiple-choice question expands to 5
+# (question, candidate) rows scored "true"/"false"; prediction = argmax of
+# the true-score across a question's rows.
+# ---------------------------------------------------------------------------
+
+
+def expand_matching_examples(examples: List[Dict],
+                             n_options: int = 5) -> List[Dict]:
+    """QA examples (with a0..a4 inside 'options' or prompt-built 'sent') →
+    one row per candidate with binary targets."""
+    rows = []
+    for ex in examples:
+        options = ex.get("options")
+        for i in range(n_options):
+            cand = (options[i] if options is not None
+                    else f"a{i}")
+            sent = f"{ex['sent']} A: {str(cand).strip('. ')}."
+            rows.append({
+                "img_id": ex["img_id"],
+                "question_id": f"{ex['question_id']}/a{i}",
+                "group_id": ex["question_id"],
+                "candidate": f"a{i}",
+                "sent": sent,
+                "answer": ("true" if ex.get("answer") == f"a{i}" else "false"),
+                "type": ex.get("type", ""),
+            })
+    return rows
+
+
+class MatchingEvaluator:
+    """Argmax-over-candidates accuracy for the matching formulation."""
+
+    def __init__(self, examples: List[Dict], types: Optional[List[str]] = None):
+        self.gt = {e["question_id"]: e.get("answer") for e in examples}
+        self.types = types or []
+        self.type_of = {e["question_id"]: e.get("type", "") for e in examples}
+
+    def evaluate(self, group_scores: Dict) -> Dict[str, float]:
+        """group_scores: {group_id: {candidate: true_score}}."""
+        correct = 0
+        n = 0
+        for gid, scores in group_scores.items():
+            if gid not in self.gt or self.gt[gid] is None:
+                continue
+            pred = max(scores.items(), key=lambda kv: kv[1])[0]
+            correct += int(pred == self.gt[gid])
+            n += 1
+        return {"overall": correct / max(n, 1)}

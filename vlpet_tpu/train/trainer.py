@@ -343,3 +343,55 @@ class Trainer:
                                 params=data["params"],
                                 opt_state=data["opt_state"])
         return int(data["step"])
+
+
+def predict_matching(trainer, loader, task: str = "tvqa"):
+    """Matching-variant scoring: per-row true/false logit comparison (the
+    video_matching_model's true-token scoring), grouped per question.
+    Returns {group_id: {candidate: true_score}}."""
+    import numpy as np
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from vlpet_tpu.models.heads import nlvr_binary_logits
+    from vlpet_tpu.pet.modules import PetContext
+
+    b = trainer.cfg.backbone
+    if trainer.true_id is None:
+        trainer.true_id = trainer.tokenizer("true",
+                                            add_special_tokens=False).input_ids[0]
+        trainer.false_id = trainer.tokenizer("false",
+                                             add_special_tokens=False).input_ids[0]
+    if trainer.cfg.is_t5:
+        dec = np.array([[b.decoder_start_token_id]], np.int32)
+        pos = 0
+    else:
+        dec = np.array([[b.decoder_start_token_id, b.bos_token_id]], np.int32)
+        pos = 1
+
+    @partial(jax.jit, static_argnums=(2,))
+    def score(params, batch, task_idx):
+        ctx = PetContext(task=task, task_idx=task_idx)
+        B = batch["input_ids"].shape[0]
+        out = trainer.model.apply(
+            {"params": params}, batch["input_ids"], batch["attention_mask"],
+            vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
+            decoder_input_ids=jnp.tile(jnp.asarray(dec), (B, 1)),
+            ctx=ctx, deterministic=True)
+        bl = nlvr_binary_logits(out["logits"], trainer.true_id,
+                                trainer.false_id, pos)
+        return bl[:, 1] - bl[:, 0]  # true-ness score
+
+    from vlpet_tpu.train.trainer import array_batch
+
+    params = trainer.merged_params
+    groups: dict = {}
+    for batch in loader:
+        arr = array_batch(batch)
+        s = np.asarray(score(params, arr, trainer.task_idx(task)))
+        for qid, sc in zip(batch["question_ids"], s):
+            gid, cand = str(qid).rsplit("/", 1)
+            groups.setdefault(gid, {})[cand] = float(sc)
+    return groups
