@@ -233,3 +233,31 @@ def test_visual_prefix_encoder():
     kw2 = dict(kw, vis_feats=kw["vis_feats"] + 1.0)
     out2 = m.apply({"params": params}, **kw2, ctx=ctx)
     assert not np.allclose(np.asarray(out["logits"]), np.asarray(out2["logits"]))
+
+
+def test_expand_visual_embedding_variant():
+    """Frozen-style expand_vis_embedding: one pooled feature → n tokens."""
+    import jax
+    import jax.numpy as jnp
+    from vlpet_tpu.config import PetConfig, VisConfig, VLModelConfig
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=50, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=32,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=16, n_boxes=1, expand_vis_embedding=True,
+                      n_image_tokens=3, use_vis_order_embedding=False),
+        pet=PetConfig())
+    m = VLBart(cfg)
+    kw = dict(input_ids=jnp.ones((2, 5), jnp.int32),
+              attention_mask=jnp.ones((2, 5), jnp.int32),
+              vis_feats=jnp.ones((2, 1, 16)), boxes=jnp.zeros((2, 1, 4)),
+              labels=jnp.ones((2, 3), jnp.int32))
+    params = m.init(jax.random.PRNGKey(0), **kw, ctx=PetContext())["params"]
+    out = m.apply({"params": params}, **kw, ctx=PetContext())
+    # 5 text + 3 expanded vis tokens
+    assert out["encoder_last_hidden_state"].shape[1] == 8
