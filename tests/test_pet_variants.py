@@ -261,3 +261,14 @@ def test_expand_visual_embedding_variant():
     out = m.apply({"params": params}, **kw, ctx=PetContext())
     # 5 text + 3 expanded vis tokens
     assert out["encoder_last_hidden_state"].shape[1] == 8
+
+
+def test_decoder_input_prompt_tuning(tmp_path):
+    """Decoder prompt tuning (non-prefix): trains, output length unchanged."""
+    argv = ["--decoder_prompt_len", "4", "--mid_dim", "16",
+            "--use_single_prompt"]
+    trainer, loaders = build_trainer(argv, tmp_path)
+    assert trainer.report["trainable"] > 0
+    batch = next(iter(loaders[0]))
+    m = trainer.do_train_step(batch)
+    assert np.isfinite(float(m["loss"]))

@@ -843,8 +843,25 @@ class BartDecoder(nn.Module):
                 b.decoder_attention_heads, b.d_model, mid_dim=p.mid_dim,
                 init_std=b.init_std, dtype=self._dtype,
                 name="decoder_prefix_embedding")
+            self.prompt_modules = None
+        elif p.decoder_prompt_len > 0:
+            # decoder input-prompt tuning: learned prompt embeddings run
+            # through the decoder ahead of the real tokens. The reference
+            # realizes this as a dry decoder run producing past_key_values
+            # (modeling_bart.py:1421-1424); concatenating the prompt embeds
+            # before the inputs (with positions offset accordingly) is
+            # mathematically identical and single-pass.
+            spec = PromptSpec(prompt_len=p.decoder_prompt_len,
+                              mid_dim=p.mid_dim,
+                              use_single_prompt=p.use_single_prompt,
+                              tasks=p.tasks)
+            self.prompt_modules = PromptController(
+                spec, b.d_model, init_std=b.init_std, dtype=self._dtype,
+                name="prompt_modules")
+            self.decoder_prefix_embedding = None
         else:
             self.decoder_prefix_embedding = None
+            self.prompt_modules = None
         self.adapter_layers_hyper_net = None
         if p.use_hyperformer:
             hspec = HyperformerSpec(
@@ -885,6 +902,12 @@ class BartDecoder(nn.Module):
 
         embed_scale = (b.d_model ** 0.5) if b.scale_embedding else 1.0
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt) * embed_scale
+        P_in = 0
+        if self.prompt_modules is not None and decode_pos is None:
+            prompt = self.prompt_modules(B, ctx.task_idx)
+            P_in = prompt.shape[1]
+            h = jnp.concatenate([prompt, h], axis=1)
+            T = T + P_in
         pos_table = self.embed_positions
         # with a P-length attention prefix in the past, decoder positions
         # start at P (past_key_values_length offset, HF 4.2.1 semantics)
@@ -935,6 +958,8 @@ class BartDecoder(nn.Module):
                 prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
                 deterministic=deterministic)
             new_cache.append(layer_cache)
+        if P_in:
+            h = h[:, P_in:]
         return h, (tuple(new_cache) if cache is not None else None)
 
     def prefix_cache_init(self, batch_size: int, max_len: int):
