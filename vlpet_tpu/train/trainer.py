@@ -267,7 +267,8 @@ class Trainer:
             if self.cfg.is_t5:
                 dec = np.array([[b.decoder_start_token_id]], np.int32)
             else:
-                dec = np.array([[b.decoder_start_token_id, 0]], np.int32)
+                dec = np.array([[b.decoder_start_token_id, b.bos_token_id]],
+                               np.int32)
             self._nlvr_dec = dec
 
             @partial(jax.jit, static_argnums=(2,))
