@@ -8,7 +8,6 @@ configs the framework consumes.
 from __future__ import annotations
 
 import argparse
-import ast
 import dataclasses
 from typing import Optional, Tuple
 
