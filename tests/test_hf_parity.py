@@ -95,3 +95,36 @@ def test_greedy_generation_parity(hf_and_flax):
     # weights both should follow pure argmax; compare up to common length
     n = min(hf_seq.shape[1], seq.shape[1])
     np.testing.assert_array_equal(seq[:, :n], hf_seq[:, :n])
+
+
+def test_beam_search_parity(hf_and_flax):
+    """Beam-5 output sequences match HF's beam search on the same weights
+    (length_penalty=1.0, early_stopping=False)."""
+    hf, m, params, cfg = hf_and_flax
+    rng = np.random.default_rng(7)
+    B, L = 3, 6
+    input_ids = rng.integers(3, 99, (B, L))
+    attn = np.ones((B, L), np.int64)
+    with torch.no_grad():
+        hf_seq = hf.generate(input_ids=torch.tensor(input_ids),
+                             attention_mask=torch.tensor(attn),
+                             max_length=10, num_beams=5, do_sample=False,
+                             length_penalty=1.0,
+                             early_stopping=False).numpy()
+    from vlpet_tpu.models.generate import seq2seq_generate
+    seq = np.asarray(seq2seq_generate(
+        m, {"params": params}, input_ids=jnp.asarray(input_ids, jnp.int32),
+        attention_mask=jnp.asarray(attn, jnp.int32), ctx=PetContext(),
+        num_beams=5, max_length=10))
+    n = min(hf_seq.shape[1], seq.shape[1])
+    # compare up to the first eos per row (padding conventions differ)
+    eos = cfg.backbone.eos_token_id
+    for b in range(B):
+        def trim(s):
+            out = []
+            for t in s:
+                out.append(int(t))
+                if t == eos and len(out) > 1:
+                    break
+            return out
+        assert trim(seq[b, :n]) == trim(hf_seq[b, :n]), (b, seq[b], hf_seq[b])

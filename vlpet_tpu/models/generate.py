@@ -169,8 +169,9 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
     _, alive_seqs, alive_logp, _, fin_scores, fin_seqs = jax.lax.while_loop(
         cond, body, state)
 
-    # if nothing finished, fall back to the best alive hypothesis
-    none_finished = jnp.all(fin_scores <= NEG_INF / 2, axis=1)
+    # HF early_stopping=False semantics: hypotheses still alive at max
+    # length join the pool (scored over their generated length, with eos
+    # appended) and compete with the finished ones
     alive_final = alive_logp / ((max_length - 1) ** length_penalty
                                 if length_penalty > 0 else 1.0)
     best_fin = fin_seqs[:, 0]
@@ -178,10 +179,12 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
     best_alive_idx = jnp.argmax(alive_final, axis=1)
     best_alive = jnp.take_along_axis(
         alive_seqs, best_alive_idx[:, None, None], axis=1)[:, 0]
+    best_alive = best_alive.at[:, -1].set(eos_token_id)
     best_alive_score = jnp.take_along_axis(alive_final, best_alive_idx[:, None],
                                            axis=1)[:, 0]
-    seqs = jnp.where(none_finished[:, None], best_alive, best_fin)
-    scores = jnp.where(none_finished, best_alive_score, best_fin_score)
+    pick_alive = best_alive_score > best_fin_score
+    seqs = jnp.where(pick_alive[:, None], best_alive, best_fin)
+    scores = jnp.where(pick_alive, best_alive_score, best_fin_score)
     return seqs, scores
 
 
