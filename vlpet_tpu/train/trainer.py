@@ -146,6 +146,14 @@ class Trainer:
 
         self._gen_cache: Dict = {}
         self._nlvr_step = None
+        # generation-only model variant: the fused Pallas attention wins
+        # forward-only (PERF.md) — enable it for inference on TPU
+        if (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
+                and not getattr(cfg, "use_pallas_attention", False)):
+            gen_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
+            self.gen_model = VLBart(gen_cfg)
+        else:
+            self.gen_model = self.model
 
     # ------------------------------------------------------------------
     @property
@@ -223,7 +231,7 @@ class Trainer:
             @jax.jit
             def gen(params, batch):
                 return seq2seq_generate(
-                    self.model, {"params": params},
+                    self.gen_model, {"params": params},
                     input_ids=batch["input_ids"],
                     attention_mask=batch["attention_mask"],
                     vis_feats=batch.get("vis_feats"),
