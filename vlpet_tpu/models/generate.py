@@ -41,10 +41,25 @@ def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
 
 
 def _gather_beams(tree, idx: Array, batch: int, beams: int):
-    """Select beams: idx (B, K) indexes into the beam axis of every leaf whose
-    leading dims are (B, K, ...)."""
+    """Select beams: idx (B, K_out) indexes into the beam axis of every leaf
+    with leading dims (B, K_in, ...).
+
+    Large float leaves (the KV cache) are expressed as a one-hot contraction;
+    note the TPU compiler currently canonicalizes both this and
+    take_along_axis to the same broadcast+select lowering (~15 ms/step at
+    beam 5, the single largest decode cost — see PERF.md round-2 leads)."""
+
+    onehot = None
 
     def take(x):
+        nonlocal onehot
+        if x.ndim >= 4 and jnp.issubdtype(x.dtype, jnp.floating):
+            if onehot is None:
+                onehot = jax.nn.one_hot(idx, x.shape[1], dtype=jnp.bfloat16)
+            flat = x.reshape(batch, x.shape[1], -1)
+            out = jnp.einsum("bok,bkf->bof", onehot.astype(x.dtype), flat,
+                             preferred_element_type=x.dtype)
+            return out.reshape((batch, idx.shape[1]) + x.shape[2:])
         return jnp.take_along_axis(
             x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
