@@ -86,6 +86,72 @@ VARIANTS = {
     "sequential_va": ["--use_decoder_enc_attn_value_sequential_adapter_down_dim",
                       "--decoder_enc_attn_value_sequential_adapter_down_dim", "8",
                       "--use_decoder_enc_attn_value_residual_connection"],
+    # standalone encoder gating replacing the adapter (reference :1014-1024)
+    "standalone_gating": ["--use_encoder_gating_large_x_lowrank",
+                          "--gating_down_dim", "8",
+                          "--unfreeze_encoder_layer_norms"],
+    "standalone_gating_add_x2": ["--use_encoder_gating_large_x_lowrank",
+                                 "--gating_down_dim", "8",
+                                 "--use_encoder_gating_large_x_lowrank_add_x2_deltay"],
+    # gate-ADD combination (reference: use_encoder_adapter_gating_add)
+    "vlpet_large_gating_add": [
+        "--use_adapter", "--use_single_adapter", "--no_encoder_adapter",
+        "--use_adapter_down_dim", "--use_encoder_adapter_down_multihead",
+        "--adapter_down_dim", "8", "--encoder_adapter_multihead_num_head", "4",
+        "--use_encoder_adapter_gating_large_x_lowrank",
+        "--adapter_gating_down_dim", "8", "--use_encoder_adapter_gating_add",
+        "--no_decoder_adapter",
+        "--use_decoder_enc_attn_value_parallel_adapter_down_dim",
+        "--decoder_enc_attn_value_parallel_adapter_down_dim", "8"],
+    # LayerNorm / L2-norm gate ablations (reference :953-967)
+    "gating_layernorm": ["--use_adapter", "--use_single_adapter",
+                         "--no_encoder_adapter", "--use_adapter_down_dim",
+                         "--use_encoder_adapter_down_multihead",
+                         "--adapter_down_dim", "8",
+                         "--encoder_adapter_multihead_num_head", "4",
+                         "--use_encoder_adapter_gating_layernorm",
+                         "--no_decoder_adapter"],
+    "gating_l2norm": ["--use_adapter", "--use_single_adapter",
+                      "--no_encoder_adapter", "--use_adapter_down_dim",
+                      "--use_encoder_adapter_down_multihead",
+                      "--adapter_down_dim", "8",
+                      "--encoder_adapter_multihead_num_head", "4",
+                      "--use_encoder_adapter_gating_l2norm",
+                      "--no_decoder_adapter"],
+    # other multihead shapes (reference :1058-1113)
+    "mh_up": ["--use_adapter", "--use_single_adapter", "--no_encoder_adapter",
+              "--use_adapter_down_dim", "--use_encoder_adapter_up_multihead",
+              "--adapter_down_dim", "8",
+              "--encoder_adapter_multihead_num_head", "4",
+              "--no_decoder_adapter"],
+    "mh_down_up": ["--use_adapter", "--use_single_adapter",
+                   "--no_encoder_adapter", "--use_adapter_down_dim",
+                   "--use_encoder_adapter_down_up_multihead",
+                   "--adapter_down_dim", "8",
+                   "--encoder_adapter_multihead_num_head", "4",
+                   "--no_decoder_adapter"],
+    "mh_pair": ["--use_adapter", "--use_single_adapter", "--no_encoder_adapter",
+                "--use_adapter_down_dim",
+                "--use_encoder_adapter_down_up_pair_multihead",
+                "--adapter_down_dim", "8",
+                "--encoder_adapter_multihead_num_head", "4",
+                "--no_decoder_adapter"],
+    # decoder-side down-dim adapters + cross gate (reference :1536-1581)
+    "decoder_adapters": [
+        "--use_decoder_self_attn_adapter_down_dim",
+        "--decoder_self_attn_adapter_down_dim", "8",
+        "--use_decoder_enc_attn_adapter_down_dim",
+        "--decoder_enc_attn_adapter_down_dim", "8",
+        "--use_decoder_enc_attn_adapter_gating_large_x_lowrank",
+        "--decoder_enc_attn_adapter_gating_large_x_lowrank_down_dim", "8",
+        "--use_decoder_ff_adapter_down_dim",
+        "--decoder_ff_adapter_down_dim", "8"],
+    "decoder_mh_kv_adapter": [
+        "--use_decoder_adapter_down_multihead",
+        "--decoder_adapter_multihead_num_head", "4",
+        "--adapter_down_dim", "8",
+        "--use_decoder_enc_attn_key_value_adapter_down_dim",
+        "--decoder_enc_attn_key_value_adapter_down_dim", "8"],
     # VL-PET lightweight visual projector
     "lowrank_visual_projector": [
         "--use_lowrank_visual_projector", "--visual_projector_down_dim", "8",
