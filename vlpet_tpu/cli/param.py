@@ -34,6 +34,8 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--valid_topk", type=float, default=-1)
     add("--output", type=str, default="snap/test")
     add("--load", type=str, default=None)
+    add("--resume", action="store_true",
+        help="resume params+optimizer+step from the latest orbax checkpoint in --output")
     add("--from_scratch", action="store_true")
     add("--run_name", type=str, default="")
 

@@ -47,6 +47,10 @@ def main(task: str, argv=None):
         backbone_ckpt=args.backbone_ckpt, load=args.load,
         mesh_model_axis=args.mesh_model_axis,
         gradient_accumulation_steps=args.gradient_accumulation_steps)
+    if args.resume:
+        step = trainer.restore()
+        if step is not None:
+            print(f"resumed from step {step}")
     if args.test_only or args.infer_only:
         for loader in val_loaders:
             print(loader.task, trainer.evaluate(loader,
