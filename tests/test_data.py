@@ -133,3 +133,19 @@ class TestFeatures:
         assert down.shape == (4, 1)
         # adaptive max pooling: last bin covers the tail
         assert down[-1, 0] == 9
+
+
+def test_image_folder_source(tmp_path):
+    from PIL import Image
+
+    from vlpet_tpu.data.features import ImageFolderSource
+
+    rng = np.random.default_rng(0)
+    for i in range(3):
+        arr = rng.integers(0, 255, (50, 70, 3)).astype(np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"img{i}.png")
+    src = ImageFolderSource(str(tmp_path), image_size=32)
+    img, _ = src.get("img1")
+    assert img.shape == (32, 32, 3)
+    assert img.dtype == np.float32
+    assert set(src.ids()) == {"img0", "img1", "img2"}

@@ -157,3 +157,37 @@ def pack_features(source, img_ids: Iterable[str], prefix: str) -> None:
     np.save(prefix + "_boxes.npy", boxes)
     with open(prefix + "_index.json", "w") as f:
         json.dump(index, f)
+
+
+class ImageFolderSource:
+    """Raw-image source for the raw_* feature_type: {dir}/{img_id}.{jpg,png}
+    loaded with PIL and CLIP-preprocessed to (H, W, 3) float32. Used with
+    vision.vis_encoder.RawInputVLModel (the batch carries images, not
+    features)."""
+
+    def __init__(self, directory: str, image_size: int = 224):
+        self.directory = directory
+        self.image_size = image_size
+        self._ext = {}
+        for f in os.listdir(directory):
+            stem, ext = os.path.splitext(f)
+            if ext.lower() in (".jpg", ".jpeg", ".png", ".bmp"):
+                self._ext[stem] = ext
+
+    def get_image(self, img_id: str) -> np.ndarray:
+        from PIL import Image
+
+        from vlpet_tpu.vision.extract import preprocess_image
+
+        path = os.path.join(self.directory, f"{img_id}{self._ext[str(img_id)]}")
+        img = np.asarray(Image.open(path).convert("RGB"))
+        return preprocess_image(img, self.image_size)
+
+    def get(self, img_id: str):
+        """Feature-source interface: returns the preprocessed image as the
+        'features' slot; collation must route it to batch['images']."""
+        img = self.get_image(img_id)
+        return img, np.zeros((1, 4), np.float32)
+
+    def ids(self):
+        return list(self._ext)
