@@ -100,3 +100,12 @@ def test_checkpoint_resume(tmp_path):
     b = jax.tree_util.tree_leaves(trainer2.state.params)
     for x, y in zip(a, b):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=1e-6)
+    # opt_state must come back with its optax namedtuple structure intact
+    # (restoring without a template yields plain dicts that crash tx.update)
+    assert (jax.tree_util.tree_structure(trainer.state.opt_state)
+            == jax.tree_util.tree_structure(trainer2.state.opt_state))
+    # and the restored state must actually be usable: take a train step
+    for batch in mt:
+        metrics = trainer2.do_train_step(batch)
+        break
+    assert np.isfinite(float(metrics["loss"]))

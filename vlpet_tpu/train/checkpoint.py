@@ -32,12 +32,30 @@ class CheckpointManager:
 
         self.mgr.save(step, args=ocp.args.StandardSave(state))
 
-    def restore(self, step: Optional[int] = None) -> Optional[Dict[str, Any]]:
+    def restore(self, step: Optional[int] = None,
+                template: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:
+        """Restore a checkpoint.
+
+        `template` is a pytree with the target structure (e.g. the live
+        TrainState's {params, opt_state, step}). Without it, orbax returns
+        optax namedtuple states as plain dicts/lists, and the first
+        tx.update after --resume crashes ('dict' object has no attribute
+        'mu'). Always pass it when restoring optimizer state.
+        """
         import orbax.checkpoint as ocp
 
         step = step if step is not None else self.mgr.latest_step()
         if step is None:
             return None
+        if template is not None:
+            def _abstract(x):
+                if not (hasattr(x, "shape") and hasattr(x, "dtype")):
+                    return x
+                sharding = getattr(x, "sharding", None)
+                return jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=sharding)
+
+            abstract = jax.tree_util.tree_map(_abstract, template)
+            return self.mgr.restore(step, args=ocp.args.StandardRestore(abstract))
         return self.mgr.restore(step)
 
     def latest_step(self) -> Optional[int]:

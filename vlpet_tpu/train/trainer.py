@@ -345,7 +345,9 @@ class Trainer:
     def restore(self) -> Optional[int]:
         if not self.ckpt:
             return None
-        data = self.ckpt.restore()
+        data = self.ckpt.restore(template={"params": self.state.params,
+                                           "opt_state": self.state.opt_state,
+                                           "step": 0})
         if data is None:
             return None
         self.state = TrainState(step=jnp.asarray(data["step"], jnp.int32),
