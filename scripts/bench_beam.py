@@ -1,0 +1,75 @@
+"""Beam/greedy decode throughput microbench on the flagship config
+(B=500, beam 5, max_len 40 — the published caption eval protocol,
+reference: scripts/image-text/VL-PET-large.sh num_beams 5)."""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_jax_cache")
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from __graft_entry__ import _flagship_cfg, _batch
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=500)
+    ap.add_argument("--beams", type=int, default=5)
+    ap.add_argument("--max_length", type=int, default=40)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--profile", type=str, default=None,
+                    help="directory for a jax.profiler trace of one batch")
+    args = ap.parse_args()
+
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.models.generate import seq2seq_generate
+    from vlpet_tpu.pet.modules import PetContext
+
+    cfg, tasks = _flagship_cfg()
+    import dataclasses
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    model = VLBart(cfg)
+    batch = _batch(cfg, B=args.batch, L_txt=20, L_tgt=10)
+    params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
+                        batch["attention_mask"], vis_feats=batch["vis_feats"],
+                        boxes=batch["boxes"], labels=batch["target_ids"],
+                        ctx=PetContext())
+
+    ctx = PetContext(task="caption", task_idx=3)
+
+    def gen(params, batch):
+        return seq2seq_generate(
+            model, params, input_ids=batch["input_ids"],
+            attention_mask=batch["attention_mask"],
+            vis_feats=batch["vis_feats"], boxes=batch["boxes"], ctx=ctx,
+            num_beams=args.beams, max_length=args.max_length)
+
+    fn = jax.jit(gen)
+    t0 = time.time()
+    out = fn(params, batch)
+    # tunnel-safe sync: data-dependent host readback
+    _ = int(jnp.asarray(out[0, 0]))
+    print(f"compile+first: {time.time() - t0:.1f}s")
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            out = fn(params, batch)
+            _ = int(jnp.asarray(out[0, 0]))
+        print("trace written to", args.profile)
+
+    t0 = time.time()
+    for _ in range(args.iters):
+        out = fn(params, batch)
+    _ = int(jnp.asarray(out[0, 0]))
+    dt = (time.time() - t0) / args.iters
+    print(f"beams={args.beams} B={args.batch} max_len={args.max_length}: "
+          f"{dt * 1000:.1f} ms/batch, {args.batch / dt:.0f} ex/s")
+
+
+if __name__ == "__main__":
+    main()

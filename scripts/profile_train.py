@@ -1,0 +1,128 @@
+"""Profile the flagship train step on the TPU and print top HLO ops by
+self time (parsed from the xplane trace via xprof/tensorboard tooling)."""
+
+import glob
+import os
+import shutil
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TRACE_DIR = "/tmp/vlpet_train_trace"
+
+
+def build():
+    from __graft_entry__ import _batch, _flagship_cfg
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+    from vlpet_tpu.train.freezing import split_params, trainable_mask
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    import dataclasses
+    cfg, tasks = _flagship_cfg()
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    model = VLBart(cfg)
+    B = 500
+    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
+        vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+        labels=batch["target_ids"], ctx=PetContext())["params"])()
+    mask = trainable_mask(params, cfg.pet)
+    trainable, frozen = split_params(params, mask)
+    tx = build_optimizer(trainable, lr=1e-3, total_steps=1000)
+    state = TrainState.create(trainable, tx)
+    step = make_train_step(model, tx, tasks)
+    return step, state, frozen, batch
+
+
+def summarize(trace_dir, top=40):
+    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+
+    xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
+                        recursive=True)
+    assert xplanes, f"no xplane under {trace_dir}"
+    for tool in ("hlo_op_stats", "hlo_stats"):
+        try:
+            data, _ = rtd.xspace_to_tool_data(xplanes, tool, {})
+            break
+        except Exception as e:
+            err = e
+    else:
+        raise err
+    import json
+
+    if isinstance(data, bytes):
+        data = data.decode()
+    rows = json.loads(data)
+    # gviz table format: {cols: [...], rows: [{c: [{v: ...}, ...]}]}
+    if isinstance(rows, dict) and "rows" in rows:
+        cols = [c.get("label") or c.get("id") for c in rows["cols"]]
+        out = []
+        for r in rows["rows"]:
+            out.append({c: (cell or {}).get("v") for c, cell in zip(cols, r["c"])})
+        rows = out
+    # pick name + self time columns heuristically
+    keys = rows[0].keys() if rows else []
+    print("columns:", list(keys))
+    def get(r, *names):
+        for n in names:
+            for k in r:
+                if n.lower() in str(k).lower():
+                    return r[k]
+        return None
+    stats = []
+    for r in rows:
+        name = get(r, "hlo op name", "op name", "name", "hlo_op")
+        cat = get(r, "category")
+        t = get(r, "total self time (us)", "self time (us)", "self_time", "self time")
+        occ = get(r, "occurrences", "#occur")
+        if name is None or t is None:
+            continue
+        try:
+            t = float(t)
+        except (TypeError, ValueError):
+            continue
+        stats.append((t, name, cat, occ))
+    stats.sort(reverse=True)
+    total = sum(t for t, *_ in stats)
+    print(f"total self time: {total/1000:.1f} ms (over traced window)")
+    for t, name, cat, occ in stats[:top]:
+        print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ}  {str(name)[:110]}")
+
+
+def main():
+    step, state, frozen, batch = build()
+    rng = jax.random.key(0, impl="rbg")
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, sub, 0)
+    float(jnp.asarray(metrics["loss"]))
+
+    shutil.rmtree(TRACE_DIR, ignore_errors=True)
+    with jax.profiler.trace(TRACE_DIR):
+        for _ in range(3):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, frozen, batch, sub, 0)
+        float(jnp.asarray(metrics["loss"]))
+
+    t0 = time.perf_counter()
+    for _ in range(10):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, sub, 0)
+    float(jnp.asarray(metrics["loss"]))
+    dt = time.perf_counter() - t0
+    print(f"step time: {dt/10*1000:.1f} ms -> {500*10/dt:.0f} ex/s")
+    summarize(TRACE_DIR)
+
+
+if __name__ == "__main__":
+    main()

@@ -268,11 +268,18 @@ class BartAttention(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
+                 beam_sel: Optional[Array] = None,
                  deterministic: bool = True):
         """Returns (attn_output, new_cache). ``prefix_kv`` (B, P, H, Dh)
         prepends learned prefix-tuning context to the keys/values (the
         reference's past_key_value-for-prefix path, modeling_prefix_bart.py);
-        the caller extends the mask with P always-attendable columns."""
+        the caller extends the mask with P always-attendable columns.
+
+        ``beam_sel`` (B, K, J, L) switches decode attention to the
+        reorder-free beam path (ops/decode.py): the cache stays in physical
+        row order and the mask routes each beam to its ancestors' slots.
+        In the same mode, a cross_kv whose batch is smaller than the hidden
+        batch is treated as beam-shared (un-expanded encoder KV)."""
         q = self._shape(self.q_proj(hidden_states) * self.scaling)
         new_cache = cache
         if self.role == "cross":
@@ -280,6 +287,11 @@ class BartAttention(nn.Module):
                 k, v = self.compute_cross_kv(kv_states, ctx)
             else:
                 k, v = cross_kv
+            if k.shape[0] != q.shape[0]:
+                from vlpet_tpu.ops.decode import beam_cross_attend
+
+                out = beam_cross_attend(q, k, v, attention_mask)
+                return self.out_proj(out), new_cache
         elif cache is not None:
             # incremental decode: write current k/v at decode_pos
             k_new = self._shape(self.k_proj(hidden_states))
@@ -289,6 +301,11 @@ class BartAttention(nn.Module):
             v = jax.lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype),
                                              (0, decode_pos, 0, 0))
             new_cache = {"k": k, "v": v}
+            if beam_sel is not None:
+                from vlpet_tpu.ops.decode import beam_decode_attend
+
+                out = beam_decode_attend(q, k, v, beam_sel)
+                return self.out_proj(out), new_cache
         else:
             k = self._shape(self.k_proj(hidden_states))
             v = self._shape(self.v_proj(hidden_states))
@@ -561,6 +578,7 @@ class BartDecoderLayer(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
+                 beam_sel: Optional[Array] = None,
                  deterministic: bool = True):
         c = self.cfg
         p = c.pet
@@ -573,6 +591,7 @@ class BartDecoderLayer(nn.Module):
         h, new_cache = self.self_attn(hidden_states, ctx,
                                       attention_mask=attention_mask, cache=cache,
                                       decode_pos=decode_pos, prefix_kv=prefix_kv,
+                                      beam_sel=beam_sel,
                                       deterministic=deterministic)
         if self.self_attn_adapter is not None:
             h = self.self_attn_adapter(h, ctx)
@@ -889,10 +908,16 @@ class BartDecoder(nn.Module):
                  cross_kvs: Optional[Tuple] = None,
                  cache: Optional[Tuple] = None,
                  decode_pos: Optional[Array] = None,
+                 beam_anc: Optional[Array] = None,
                  deterministic: bool = True):
         """Training: full teacher forcing (cache=None).
         Decoding: input_ids is (B, 1), cache holds (k, v) per layer, cross_kvs
         the precomputed cross-attention K/V per layer.
+        ``beam_anc`` (B_true, K, L_cache) int32 enables reorder-free beam
+        decode: input rows are beam-major (B_true*K), the cache is never
+        reordered, and self-attention follows the ancestry mask
+        (ops/decode.py). cross_kvs/encoder_attention_mask may then stay
+        un-expanded at B_true rows.
         Returns (hidden, new_cache)."""
         c = self.cfg
         b = c.backbone
@@ -914,6 +939,7 @@ class BartDecoder(nn.Module):
         P_off = (c.pet.decoder_prompt_len
                  if (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0)
                  else 0)
+        beam_sel = None
         if decode_pos is None:
             h = h + pos_table[2 + P_off:2 + P_off + T].astype(dt)[None]
             self_mask = causal_mask(T, dt)
@@ -924,8 +950,15 @@ class BartDecoder(nn.Module):
                                             (1, b.d_model)).astype(dt)
             h = h + pos_emb[None]
             max_len = cache[0]["k"].shape[1]
-            j = jnp.arange(max_len)[None, None, None, :]
-            self_mask = jnp.where(j <= decode_pos, 0.0, NEG_INF).astype(dt)
+            if beam_anc is not None:
+                from vlpet_tpu.ops.decode import beam_selection_mask
+
+                beam_sel = beam_selection_mask(beam_anc, decode_pos, max_len,
+                                               beam_anc.shape[1])
+                self_mask = None
+            else:
+                j = jnp.arange(max_len)[None, None, None, :]
+                self_mask = jnp.where(j <= decode_pos, 0.0, NEG_INF).astype(dt)
 
         h = self.layernorm_embedding(h)
         h = self.emb_dropout(h, deterministic=deterministic)
@@ -956,6 +989,7 @@ class BartDecoder(nn.Module):
                 cache=cache[i] if cache is not None else None,
                 decode_pos=decode_pos,
                 prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
+                beam_sel=beam_sel,
                 deterministic=deterministic)
             new_cache.append(layer_cache)
         if P_in:

@@ -42,38 +42,15 @@ def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
 
 def _gather_beams(tree, idx: Array, batch: int, beams: int):
     """Select beams: idx (B, K_out) indexes into the beam axis of every leaf
-    with leading dims (B, K_in, ...).
-
-    Large float leaves (the KV cache) are expressed as a one-hot contraction;
-    note the TPU compiler currently canonicalizes both this and
-    take_along_axis to the same broadcast+select lowering (~15 ms/step at
-    beam 5, the single largest decode cost — see PERF.md round-2 leads)."""
-
-    onehot = None
+    with leading dims (B, K_in, ...). Only small integer trees (sequences,
+    ancestry) pass through here — the KV cache is never physically
+    reordered (see ops/decode.py)."""
 
     def take(x):
-        nonlocal onehot
-        if x.ndim >= 4 and jnp.issubdtype(x.dtype, jnp.floating):
-            if onehot is None:
-                onehot = jax.nn.one_hot(idx, x.shape[1], dtype=jnp.bfloat16)
-            flat = x.reshape(batch, x.shape[1], -1)
-            out = jnp.einsum("bok,bkf->bof", onehot.astype(x.dtype), flat,
-                             preferred_element_type=x.dtype)
-            return out.reshape((batch, idx.shape[1]) + x.shape[2:])
         return jnp.take_along_axis(
             x, idx.reshape(idx.shape + (1,) * (x.ndim - 2)), axis=1)
 
     return jax.tree_util.tree_map(take, tree)
-
-
-def _flat(tree, batch, beams):
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((batch * beams,) + x.shape[2:]), tree)
-
-
-def _unflat(tree, batch, beams):
-    return jax.tree_util.tree_map(
-        lambda x: x.reshape((batch, beams) + x.shape[1:]), tree)
 
 
 def greedy_generate(decode_step: Callable, cache, batch_size: int,
@@ -109,16 +86,26 @@ def greedy_generate(decode_step: Callable, cache, batch_size: int,
 def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
                   max_length: int, decoder_start_token_id: int,
                   eos_token_id: int, pad_token_id: int,
-                  length_penalty: float = 1.0) -> Tuple[Array, Array]:
-    """Beam search. ``cache`` must already be expanded to B*K leading dim
-    (beam-expand encoder outputs before building it, reference:
-    modeling_bart.py:1646-1681).
+                  length_penalty: float = 1.0,
+                  pos_offset: int = 0) -> Tuple[Array, Array]:
+    """Reorder-free beam search (ops/decode.py design).
 
-    decode_step(token_ids (B*K, 1), pos, cache) -> (logits (B*K, V), cache)
+    ``cache`` has B*K physical rows that are NEVER reordered; each beam
+    carries an ancestry vector anc[b, k, t] = physical row of its KV at
+    position t, and decode attention reads through that index. This removes
+    the per-step full-cache gather (the dominant decode cost on TPU) that
+    classic HF-style beam search pays (reference: modeling_bart.py:1646-1681
+    beam-expands + _reorder_cache).
+
+    decode_step(token_ids (B*K, 1), pos, cache, beam_anc) -> (logits, cache)
+
+    ``pos_offset``: first writable cache slot (e.g. a P-length attention
+    prefix occupies slots [0, P)).
 
     Returns (best_sequences (B, max_length), best_scores (B,)).
     """
     B, K = batch_size, num_beams
+    cache_len = jax.tree_util.tree_leaves(cache)[0].shape[1]
 
     alive_seqs = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
     alive_seqs = alive_seqs.at[:, :, 0].set(decoder_start_token_id)
@@ -126,22 +113,32 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
     alive_logp = jnp.tile(jnp.array([0.0] + [NEG_INF] * (K - 1)), (B, 1))
     fin_seqs = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
     fin_scores = jnp.full((B, K), NEG_INF)
+    # each row starts as its own ancestor (prefix slots < pos_offset are
+    # per-row copies, so the identity index is correct there too)
+    anc = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                           (B, K, cache_len))
 
     def cond(state):
-        i, _, alive_logp, _, fin_scores, _ = state
+        i, _, alive_logp, _, _, fin_scores, _ = state
         if_done = i >= max_length - 1
-        # early_stopping=False HF semantics: stop when the best possible alive
-        # score can no longer beat the worst finished score
-        best_alive = jnp.max(alive_logp, axis=1) / (max_length ** length_penalty
-                                                    if length_penalty > 0 else 1.0)
+        # early_stopping=False HF semantics: stop when the best alive score
+        # at the CURRENT length can no longer beat the worst finished score
+        # (BeamHypotheses.is_done uses cur_len, not max_length)
+        gen_len = jnp.asarray(i + 1, jnp.float32)
+        best_alive = jnp.max(alive_logp, axis=1) / (
+            gen_len ** length_penalty if length_penalty > 0 else 1.0)
         worst_fin = jnp.min(fin_scores, axis=1)
         done = jnp.all(worst_fin >= best_alive)
         return ~(if_done | done)
 
     def body(state):
-        i, alive_seqs, alive_logp, cache, fin_scores, fin_seqs = state
+        i, alive_seqs, alive_logp, cache, anc, fin_scores, fin_seqs = state
         tok = jax.lax.dynamic_slice(alive_seqs, (0, 0, i), (B, K, 1))
-        logits, new_cache = decode_step(tok.reshape(B * K, 1), i, cache)
+        # this step's KV lands in each beam's own physical row
+        own_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
+                                   (B, K, 1))
+        anc = jax.lax.dynamic_update_slice(anc, own_row, (0, 0, pos_offset + i))
+        logits, cache = decode_step(tok.reshape(B * K, 1), i, cache, anc)
         logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
         V = logp.shape[-1]
         logp = logp.reshape(B, K, V) + alive_logp[..., None]
@@ -173,15 +170,14 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
         alive_seqs = _gather_beams(cand_seqs, alive_idx, B, K)
         alive_logp = new_alive_logp
 
-        # reorder the cache to the chosen beams
+        # inherit the chosen parents' ancestry — an int gather over (B, K, L)
+        # instead of reordering the multi-GB KV cache
         chosen_beam = jnp.take_along_axis(beam_idx, alive_idx, axis=1)  # (B, K)
-        cache_bk = _unflat(new_cache, B, K)
-        cache_bk = _gather_beams(cache_bk, chosen_beam, B, K)
-        cache = _flat(cache_bk, B, K)
-        return (i + 1, alive_seqs, alive_logp, cache, fin_scores, fin_seqs)
+        anc = _gather_beams(anc, chosen_beam, B, K)
+        return (i + 1, alive_seqs, alive_logp, cache, anc, fin_scores, fin_seqs)
 
-    state = (0, alive_seqs, alive_logp, cache, fin_scores, fin_seqs)
-    _, alive_seqs, alive_logp, _, fin_scores, fin_seqs = jax.lax.while_loop(
+    state = (0, alive_seqs, alive_logp, cache, anc, fin_scores, fin_seqs)
+    _, alive_seqs, alive_logp, _, _, fin_scores, fin_seqs = jax.lax.while_loop(
         cond, body, state)
 
     # HF early_stopping=False semantics: hypotheses still alive at max
@@ -233,13 +229,10 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
     cross_kvs = model.apply(variables, enc_out, ctx,
                             method=type(model).init_decode)
 
-    if num_beams > 1:
-        joint_mask = expand_to_beams(joint_mask, num_beams)
-        cross_kvs = jax.tree_util.tree_map(
-            lambda x: expand_to_beams(x, num_beams), cross_kvs)
-        n = B * num_beams
-    else:
-        n = B
+    # beam mode: joint_mask and cross_kvs stay UN-expanded at B rows — the
+    # K beams of a batch element share one encoder-KV copy (ops/decode.py
+    # beam_cross_attend), cutting cross-attention read traffic by K
+    n = B * num_beams if num_beams > 1 else B
 
     # decoder attention-prefix: prefill the first P cache slots once and
     # start decoding at position P (prefix-tuning semantics)
@@ -257,15 +250,16 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
              "v": layer["v"].at[:, :P].set(pv.astype(dtype))}
             for layer, (pk, pv) in zip(cache, prefix_kvs))
 
-    def decode_step(tok, pos, cache):
+    def decode_step(tok, pos, cache, beam_anc=None):
         return model.apply(variables, tok, joint_mask, cross_kvs, cache,
-                           pos + P, ctx, method=type(model).decode_step)
+                           pos + P, ctx, beam_anc,
+                           method=type(model).decode_step)
 
     eos = bk.eos_token_id
     pad = bk.pad_token_id
     start = bk.decoder_start_token_id
     if num_beams > 1:
         seqs, _ = beam_generate(decode_step, cache, B, num_beams, max_length,
-                                start, eos, pad, length_penalty)
+                                start, eos, pad, length_penalty, pos_offset=P)
         return seqs
     return greedy_generate(decode_step, cache, B, max_length, start, eos, pad)

@@ -163,6 +163,7 @@ class T5Attention(nn.Module):
                  cross_kv: Optional[Tuple[Array, Array]] = None,
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
+                 beam_sel: Optional[Array] = None,
                  deterministic: bool = True):
         b: T5Config = self.cfg.backbone
         q = self._shape(self.q(hidden_states))  # no scaling (T5)
@@ -172,6 +173,14 @@ class T5Attention(nn.Module):
                 k, v = self.compute_cross_kv(kv_states, ctx)
             else:
                 k, v = cross_kv
+            if k.shape[0] != q.shape[0]:
+                # beam-shared (un-expanded) encoder KV; position_bias here is
+                # the (B, 1, 1, S) additive cross mask
+                from vlpet_tpu.ops.decode import beam_cross_attend
+
+                out = beam_cross_attend(q, k, v, mask=position_bias)
+                B, L = q.shape[:2]
+                return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
         elif cache is not None:
             k_new = self._shape(self.k(hidden_states))
             v_new = self._shape(self.v(hidden_states))
@@ -182,6 +191,15 @@ class T5Attention(nn.Module):
                                              v_new.astype(cache["v"].dtype),
                                              (0, decode_pos, 0, 0))
             new_cache = {"k": k, "v": v}
+            if beam_sel is not None:
+                # position_bias here is the per-position relative-bias row
+                # (1, H, 1, L) — position-dependent only, beam-broadcastable
+                from vlpet_tpu.ops.decode import beam_decode_attend
+
+                out = beam_decode_attend(q, k, v, beam_sel,
+                                         bias_row=position_bias)
+                B, L = q.shape[:2]
+                return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
         else:
             k = self._shape(self.k(hidden_states))
             v = self._shape(self.v(hidden_states))
@@ -359,13 +377,14 @@ class T5Block(nn.Module):
                  cross_kv: Optional[Tuple[Array, Array]] = None,
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
+                 beam_sel: Optional[Array] = None,
                  deterministic: bool = True):
         block = ctx.block_adapters
         # --- self-attention ------------------------------------------------
         x = hidden_states
         y, new_cache = self.self_attn(self.self_attn_layer_norm(x), ctx,
                                       position_bias=position_bias, cache=cache,
-                                      decode_pos=decode_pos,
+                                      decode_pos=decode_pos, beam_sel=beam_sel,
                                       deterministic=deterministic)
         if not self.is_decoder:
             y = self.attn_hooks(y, x, ctx,
@@ -571,7 +590,7 @@ class T5Decoder(nn.Module):
     def __call__(self, input_ids, shared_embedding,
                  encoder_hidden_states=None, encoder_attention_mask=None,
                  ctx: PetContext = None, task_embedding=None,
-                 cross_kvs=None, cache=None, decode_pos=None,
+                 cross_kvs=None, cache=None, decode_pos=None, beam_anc=None,
                  deterministic: bool = True):
         c = self.cfg
         b: T5Config = c.backbone
@@ -581,6 +600,7 @@ class T5Decoder(nn.Module):
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt)
         h = self.dropout(h, deterministic=deterministic)
 
+        beam_sel = None
         if decode_pos is None:
             causal = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0,
@@ -589,9 +609,18 @@ class T5Decoder(nn.Module):
         else:
             max_len = cache[0]["k"].shape[1]
             row = self.blocks[0].self_attn.compute_bias_row(decode_pos, max_len)
-            causal = jnp.where(jnp.arange(max_len)[None, None, None, :] <= decode_pos,
-                               0.0, NEG_INF).astype(dt)
-            self_bias = row + causal
+            if beam_anc is not None:
+                # reorder-free beam decode: the ancestry mask carries the
+                # causal constraint; the bias row rides through the attention
+                from vlpet_tpu.ops.decode import beam_selection_mask
+
+                beam_sel = beam_selection_mask(beam_anc, decode_pos, max_len,
+                                               beam_anc.shape[1])
+                self_bias = row
+            else:
+                causal = jnp.where(jnp.arange(max_len)[None, None, None, :] <= decode_pos,
+                                   0.0, NEG_INF).astype(dt)
+                self_bias = row + causal
 
         cross_mask = None
         if encoder_attention_mask is not None:
@@ -607,7 +636,7 @@ class T5Decoder(nn.Module):
                                  encoder_attention_mask=cross_mask,
                                  cross_kv=cross_kvs[i] if cross_kvs is not None else None,
                                  cache=cache[i] if cache is not None else None,
-                                 decode_pos=decode_pos,
+                                 decode_pos=decode_pos, beam_sel=beam_sel,
                                  deterministic=deterministic)
             new_cache.append(layer_cache)
         h = self.final_layer_norm(h)
@@ -659,14 +688,15 @@ class VLT5Model(nn.Module):
 
     def decode(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                ctx: PetContext = None, cross_kvs=None, cache=None,
-               decode_pos=None, deterministic: bool = True):
+               decode_pos=None, beam_anc=None, deterministic: bool = True):
         ctx = ctx or PetContext()
         return self.decoder(decoder_input_ids, self.shared,
                             encoder_hidden_states=encoder_hidden_states,
                             encoder_attention_mask=joint_mask, ctx=ctx,
                             task_embedding=self._task_embedding(ctx),
                             cross_kvs=cross_kvs, cache=cache,
-                            decode_pos=decode_pos, deterministic=deterministic)
+                            decode_pos=decode_pos, beam_anc=beam_anc,
+                            deterministic=deterministic)
 
     def compute_cross_kvs(self, encoder_hidden_states, ctx: PetContext):
         return self.decoder.compute_cross_kvs(encoder_hidden_states, ctx)
@@ -757,11 +787,12 @@ class VLT5(nn.Module):
         return self.model.compute_cross_kvs(encoder_hidden_states, ctx)
 
     def decode_step(self, decoder_input_ids, joint_mask, cross_kvs, cache,
-                    decode_pos, ctx: PetContext = None):
+                    decode_pos, ctx: PetContext = None, beam_anc=None):
         ctx = self._ctx(ctx)
         dec_out, new_cache = self.model.decode(
             decoder_input_ids, None, joint_mask, ctx, cross_kvs=cross_kvs,
-            cache=cache, decode_pos=decode_pos, deterministic=True)
+            cache=cache, decode_pos=decode_pos, beam_anc=beam_anc,
+            deterministic=True)
         return self._logits(dec_out)[:, -1, :], new_cache
 
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,

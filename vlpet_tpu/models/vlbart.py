@@ -79,7 +79,7 @@ class VLBartModel(nn.Module):
 
     def decode(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                decoder_attention_mask=None, ctx: PetContext = None,
-               cross_kvs=None, cache=None, decode_pos=None,
+               cross_kvs=None, cache=None, decode_pos=None, beam_anc=None,
                deterministic: bool = True):
         ctx = ctx or PetContext()
         return self.decoder(
@@ -89,7 +89,7 @@ class VLBartModel(nn.Module):
             decoder_attention_mask=decoder_attention_mask,
             ctx=ctx, task_embedding=self._task_embedding(ctx),
             cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
-            deterministic=deterministic)
+            beam_anc=beam_anc, deterministic=deterministic)
 
     def compute_cross_kvs(self, encoder_hidden_states, ctx: PetContext):
         return self.decoder.compute_cross_kvs(encoder_hidden_states, ctx)
@@ -209,14 +209,16 @@ class VLBart(nn.Module):
         return self.model.compute_cross_kvs(encoder_hidden_states, ctx)
 
     def decode_step(self, decoder_input_ids, joint_mask, cross_kvs, cache,
-                    decode_pos, ctx: PetContext = None):
+                    decode_pos, ctx: PetContext = None, beam_anc=None):
         """One decode step: decoder_input_ids (B, 1) at position decode_pos.
+        ``beam_anc`` (B_true, K, L_cache) enables reorder-free beam decode
+        with un-expanded joint_mask/cross_kvs (see ops/decode.py).
         Returns (logits (B, vocab), new_cache)."""
         ctx = self._ctx(ctx)
         dec_out, new_cache = self.model.decode(
             decoder_input_ids, None, joint_mask, ctx=ctx,
             cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
-            deterministic=True)
+            beam_anc=beam_anc, deterministic=True)
         return self._logits(dec_out)[:, -1, :], new_cache
 
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
