@@ -251,8 +251,9 @@ def test_attn_prefix_cache_parity():
                         method=VLBart.init_decode)
     prefix_kvs = m.apply({"params": params}, B,
                          method=VLBart.init_decoder_prefix)
-    cache = init_self_cache(cfg, B, T + P)
-    cache = tuple({"k": l["k"].at[:, :P].set(pk), "v": l["v"].at[:, :P].set(pv)}
+    cache = init_self_cache(cfg, B, T + P)  # time-major (L, B, H, Dh)
+    cache = tuple({"k": l["k"].at[:P].set(pk.swapaxes(0, 1)),
+                   "v": l["v"].at[:P].set(pv.swapaxes(0, 1))}
                   for l, (pk, pv) in zip(cache, prefix_kvs))
     steps = []
     for t in range(T):

@@ -293,19 +293,26 @@ class BartAttention(nn.Module):
                 out = beam_cross_attend(q, k, v, attention_mask)
                 return self.out_proj(out), new_cache
         elif cache is not None:
-            # incremental decode: write current k/v at decode_pos
-            k_new = self._shape(self.k_proj(hidden_states))
+            # incremental decode: write current k/v at time slot decode_pos.
+            # Cache is TIME-MAJOR (L, B, H, Dh) so this is a leading-dim
+            # dynamic_update_slice — the in-place pattern on TPU (the
+            # batch-major form copied the whole buffer each step, PERF.md).
+            k_new = self._shape(self.k_proj(hidden_states))  # (B, 1, H, Dh)
             v_new = self._shape(self.v_proj(hidden_states))
-            k = jax.lax.dynamic_update_slice(cache["k"], k_new.astype(cache["k"].dtype),
-                                             (0, decode_pos, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"], v_new.astype(cache["v"].dtype),
-                                             (0, decode_pos, 0, 0))
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k_new.swapaxes(0, 1).astype(cache["k"].dtype),
+                (decode_pos, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_new.swapaxes(0, 1).astype(cache["v"].dtype),
+                (decode_pos, 0, 0, 0))
             new_cache = {"k": k, "v": v}
-            if beam_sel is not None:
-                from vlpet_tpu.ops.decode import beam_decode_attend
+            from vlpet_tpu.ops.decode import beam_decode_attend, decode_attend
 
+            if beam_sel is not None:
                 out = beam_decode_attend(q, k, v, beam_sel)
-                return self.out_proj(out), new_cache
+            else:
+                out = decode_attend(q, k, v, attention_mask)
+            return self.out_proj(out), new_cache
         else:
             k = self._shape(self.k_proj(hidden_states))
             v = self._shape(self.v_proj(hidden_states))
@@ -949,7 +956,7 @@ class BartDecoder(nn.Module):
             pos_emb = jax.lax.dynamic_slice(pos_table, (decode_pos + 2, 0),
                                             (1, b.d_model)).astype(dt)
             h = h + pos_emb[None]
-            max_len = cache[0]["k"].shape[1]
+            max_len = cache[0]["k"].shape[0]  # time-major cache
             if beam_anc is not None:
                 from vlpet_tpu.ops.decode import beam_selection_mask
 

@@ -28,15 +28,21 @@ NEG_INF = -1.0e7
 
 
 def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
-    """Preallocated per-layer self-attention KV cache."""
+    """Preallocated per-layer self-attention KV cache.
+
+    TIME-MAJOR layout (L, B, H, Dh): the per-step write is then a
+    leading-dim dynamic_update_slice, which XLA performs in place. The
+    batch-major layout made XLA copy the whole multi-GB buffer every decode
+    step (~6 ms/step at flagship shapes — PERF.md), and TPU tiling forbids
+    sub-tile time slices for surgical DMA writes in that layout."""
     b = cfg.backbone
     n_layers = b.decoder_layers if not cfg.is_t5 else b.num_decoder_layers
     if cfg.is_t5:
         heads, head_dim = b.num_heads, b.d_kv
     else:
         heads, head_dim = b.decoder_attention_heads, b.d_model // b.decoder_attention_heads
-    layer = lambda: {"k": jnp.zeros((batch_size, max_len, heads, head_dim), dtype),
-                     "v": jnp.zeros((batch_size, max_len, heads, head_dim), dtype)}
+    layer = lambda: {"k": jnp.zeros((max_len, batch_size, heads, head_dim), dtype),
+                     "v": jnp.zeros((max_len, batch_size, heads, head_dim), dtype)}
     return tuple(layer() for _ in range(n_layers))
 
 
@@ -105,7 +111,7 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
     Returns (best_sequences (B, max_length), best_scores (B,)).
     """
     B, K = batch_size, num_beams
-    cache_len = jax.tree_util.tree_leaves(cache)[0].shape[1]
+    cache_len = jax.tree_util.tree_leaves(cache)[0].shape[0]  # time-major
 
     alive_seqs = jnp.full((B, K, max_length), pad_token_id, jnp.int32)
     alive_seqs = alive_seqs.at[:, :, 0].set(decoder_start_token_id)
@@ -139,15 +145,31 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
                                    (B, K, 1))
         anc = jax.lax.dynamic_update_slice(anc, own_row, (0, 0, pos_offset + i))
         logits, cache = decode_step(tok.reshape(B * K, 1), i, cache, anc)
-        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
-        V = logp.shape[-1]
-        logp = logp.reshape(B, K, V) + alive_logp[..., None]
-
-        # top 2K candidates over (K*V)
-        flat = logp.reshape(B, K * V)
-        top_logp, top_idx = jax.lax.top_k(flat, 2 * K)
-        beam_idx = top_idx // V
-        tok_idx = top_idx % V
+        # Candidate selection without materializing log_softmax over the
+        # full (B*K, V) tensor: within a row, raw logits order == logp
+        # order, so take per-beam top-2K on raw logits and normalize only
+        # the winners (logsumexp is a per-row constant). The union of
+        # per-beam top-2K is a superset of the joint top-2K over (K*V), so
+        # the two-stage reduction is exact. (The single joint top-k over
+        # (B, K*V) formulation cost ~8 ms/step of reshape/copy/broadcast
+        # on TPU — see PERF.md.)
+        logits = logits.astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*K,)
+        V = logits.shape[-1]
+        if V >= 4096:
+            # TPU PartialReduce-based top-k: ~2x the sort-based custom call
+            # at vocab scale; recall_target=0.99 is empirically exact for
+            # 2K winners out of 50k logits (scripts/bench_topk.py)
+            top_vals, top_tok = jax.lax.approx_max_k(
+                logits, 2 * K, recall_target=0.99, aggregate_to_topk=True)
+        else:
+            top_vals, top_tok = jax.lax.top_k(logits, 2 * K)  # (B*K, 2K)
+        top_lp = top_vals - lse[:, None]
+        top_lp = top_lp.reshape(B, K, 2 * K) + alive_logp[..., None]
+        top_logp, flat_idx = jax.lax.top_k(top_lp.reshape(B, K * 2 * K), 2 * K)
+        beam_idx = flat_idx // (2 * K)
+        tok_idx = jnp.take_along_axis(
+            top_tok.reshape(B, K * 2 * K), flat_idx, axis=1).astype(jnp.int32)
 
         cand_seqs = _gather_beams(alive_seqs, beam_idx, B, K)  # (B, 2K, L)
         cand_seqs = jax.lax.dynamic_update_slice(
@@ -245,9 +267,10 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
                                  method=type(model).init_decoder_prefix)
     cache = init_self_cache(cfg, n, max_length + P, dtype)
     if prefix_kvs is not None:
+        # prefix kvs come (B, P, H, Dh); cache is time-major (L, B, H, Dh)
         cache = tuple(
-            {"k": layer["k"].at[:, :P].set(pk.astype(dtype)),
-             "v": layer["v"].at[:, :P].set(pv.astype(dtype))}
+            {"k": layer["k"].at[:P].set(pk.swapaxes(0, 1).astype(dtype)),
+             "v": layer["v"].at[:P].set(pv.swapaxes(0, 1).astype(dtype))}
             for layer, (pk, pv) in zip(cache, prefix_kvs))
 
     def decode_step(tok, pos, cache, beam_anc=None):

@@ -182,24 +182,28 @@ class T5Attention(nn.Module):
                 B, L = q.shape[:2]
                 return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
         elif cache is not None:
+            # time-major (L, B, H, Dh) cache; leading-dim dus is in place
             k_new = self._shape(self.k(hidden_states))
             v_new = self._shape(self.v(hidden_states))
-            k = jax.lax.dynamic_update_slice(cache["k"],
-                                             k_new.astype(cache["k"].dtype),
-                                             (0, decode_pos, 0, 0))
-            v = jax.lax.dynamic_update_slice(cache["v"],
-                                             v_new.astype(cache["v"].dtype),
-                                             (0, decode_pos, 0, 0))
+            k = jax.lax.dynamic_update_slice(
+                cache["k"], k_new.swapaxes(0, 1).astype(cache["k"].dtype),
+                (decode_pos, 0, 0, 0))
+            v = jax.lax.dynamic_update_slice(
+                cache["v"], v_new.swapaxes(0, 1).astype(cache["v"].dtype),
+                (decode_pos, 0, 0, 0))
             new_cache = {"k": k, "v": v}
+            from vlpet_tpu.ops.decode import beam_decode_attend, decode_attend
+
             if beam_sel is not None:
                 # position_bias here is the per-position relative-bias row
                 # (1, H, 1, L) — position-dependent only, beam-broadcastable
-                from vlpet_tpu.ops.decode import beam_decode_attend
-
                 out = beam_decode_attend(q, k, v, beam_sel,
                                          bias_row=position_bias)
-                B, L = q.shape[:2]
-                return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
+            else:
+                # position_bias carries the causal mask + bias row
+                out = decode_attend(q, k, v, bias_row=position_bias)
+            B, L = q.shape[:2]
+            return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
         else:
             k = self._shape(self.k(hidden_states))
             v = self._shape(self.v(hidden_states))
@@ -607,7 +611,7 @@ class T5Decoder(nn.Module):
                 NEG_INF).astype(dt)[None, None]
             self_bias = self.blocks[0].self_attn.compute_bias(T, T) + causal
         else:
-            max_len = cache[0]["k"].shape[1]
+            max_len = cache[0]["k"].shape[0]  # time-major cache
             row = self.blocks[0].self_attn.compute_bias_row(decode_pos, max_len)
             if beam_anc is not None:
                 # reorder-free beam decode: the ancestry mask carries the

@@ -49,31 +49,72 @@ def beam_selection_mask(beam_anc: Array, decode_pos: Array, cache_len: int,
     return jnp.where(sel, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def decode_attend(q: Array, k: Array, v: Array,
+                  mask: Optional[Array] = None,
+                  bias_row: Optional[Array] = None) -> Array:
+    """Single-step decode self-attention over a TIME-MAJOR cache.
+
+    q: (B, 1, H, Dh); k, v: (L, B, H, Dh); mask: additive with trailing
+    L axis (e.g. (1, 1, 1, L) position mask); bias_row: optional
+    (1, H, 1, L) T5 relative bias. Returns (B, 1, H*Dh)."""
+    L, B, H, Dh = k.shape
+    qb = q.reshape(B, H, Dh)
+    logits = jnp.einsum("bhd,lbhd->bhl", qb, k,
+                        preferred_element_type=jnp.float32)  # (B, H, L)
+    if mask is not None:
+        # (B or 1, 1, 1, L) additive -> (B or 1, 1, L)
+        logits = logits + mask.astype(jnp.float32).reshape(mask.shape[0], 1, L)
+    if bias_row is not None:
+        logits = logits + bias_row.astype(jnp.float32).reshape(1, H, L)
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhl,lbhd->bhd", probs, v)
+    return out.reshape(B, 1, H * Dh)
+
+
 def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
                        bias_row: Optional[Array] = None) -> Array:
     """Ancestry-masked self-attention for one decode step.
 
     q: (B*K, 1, H, Dh) — current-step queries, beam-major rows
-    k, v: (B*J, L, H, Dh) — physical KV cache (J == K), never reordered
+    k, v: (L, B*J, H, Dh) — TIME-MAJOR physical KV cache (J == K), never
+        reordered (rows) and never copied (time: leading-dim updates)
     sel_mask: (B, K, J, L) additive (from beam_selection_mask)
     bias_row: optional (1, H, 1, L) additive position bias (T5) — position-
         dependent only, so it broadcasts over beams and physical rows.
     Returns (B*K, 1, H*Dh).
+
+    Shape strategy: the K beams act as a query *sequence* of length K and
+    the flattened (J, L) cache as the memory — the canonical
+    (B, H, Lq, S) attention layout XLA already tiles well. (A 5-d
+    (B,K,H,J,L) formulation measured 30x slower: XLA assigned layouts with
+    5-wide minor dims, leaving the VPU lanes ~96% idle.)
     """
     B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
     qb = q.reshape(B, K, H, Dh)
-    kb = k.reshape(B, J, L, H, Dh)
-    vb = v.reshape(B, J, L, H, Dh)
-    logits = jnp.einsum("bkhd,bjlhd->bkhjl", qb, kb,
-                        preferred_element_type=jnp.float32)
-    logits = logits + sel_mask[:, :, None]  # (B,K,1,J,L)
+    # pad the beam/query axis to the 8-sublane boundary — K=5 leaves XLA's
+    # softmax fusions VPU-starved (measured ~40x off roofline)
+    Kp = max(8, K)
+    if Kp != K:
+        qb = jnp.pad(qb, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
+    kb = k.reshape(L, B, J, H, Dh)
+    vb = v.reshape(L, B, J, H, Dh)
+    logits = jnp.einsum("bqhd,lbjhd->bhqjl", qb, kb,
+                        preferred_element_type=jnp.float32)  # (B,H,Kp,J,L)
+    logits = logits.reshape(B, H, Kp, J * L)
+    mask = sel_mask.reshape(B, 1, K, J * L)
+    if Kp != K:
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Kp - K), (0, 0)))
+    logits = logits + mask
     if bias_row is not None:
-        logits = logits + bias_row.astype(jnp.float32).reshape(1, 1, H, 1, L)
-    probs = jax.nn.softmax(logits.reshape(B, K, H, J * L), axis=-1)
-    probs = probs.reshape(B, K, H, J, L).astype(q.dtype)
-    out = jnp.einsum("bkhjl,bjlhd->bkhd", probs, vb)
-    return out.reshape(B * K, 1, H * Dh)
+        # memory index m = j*L + l -> repeat the L-bias J times
+        bias = jnp.tile(bias_row.astype(jnp.float32).reshape(1, H, 1, L),
+                        (1, 1, 1, J))
+        logits = logits + bias
+    probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhqjl,lbjhd->bqhd",
+                     probs.reshape(B, H, Kp, J, L), vb)
+    return out[:, :K].reshape(B * K, 1, H * Dh)
 
 
 def beam_cross_attend(q: Array, k: Array, v: Array,
@@ -82,18 +123,22 @@ def beam_cross_attend(q: Array, k: Array, v: Array,
     """Cross-attention with beam-shared (un-expanded) encoder KV.
 
     q: (B*K, 1, H, Dh); k, v: (B, S, H, Dh) — one copy per batch element,
-    shared by its K beams. mask: optional (B, 1, 1, S) additive.
-    Returns (B*K, 1, H*Dh).
+    shared by its K beams (beams = a K-long query sequence; no causal
+    structure in cross-attention, so this is exact). mask: optional
+    (B, 1, 1, S) additive. Returns (B*K, 1, H*Dh).
     """
     B, S, H, Dh = k.shape
     K = q.shape[0] // B
     qb = q.reshape(B, K, H, Dh)
-    logits = jnp.einsum("bkhd,bshd->bkhs", qb, k,
-                        preferred_element_type=jnp.float32)
+    Kp = max(8, K)  # sublane-pad the beam/query axis (see beam_decode_attend)
+    if Kp != K:
+        qb = jnp.pad(qb, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
+    logits = jnp.einsum("bqhd,bshd->bhqs", qb, k,
+                        preferred_element_type=jnp.float32)  # (B,H,Kp,S)
     if mask is not None:
         logits = logits + mask.astype(jnp.float32).reshape(B, 1, 1, S)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bkhs,bshd->bkhd", probs, v)
-    return out.reshape(B * K, 1, H * Dh)
+    out = jnp.einsum("bhqs,bshd->bqhd", probs, v)
+    return out[:, :K].reshape(B * K, 1, H * Dh)
