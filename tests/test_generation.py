@@ -98,6 +98,54 @@ class TestGreedy:
         np.testing.assert_array_equal(np.asarray(out), seqs)
 
 
+class TestVisAttentionMask:
+    def test_generation_respects_vis_mask(self):
+        """Generating with a partially-masked vis sequence must match the
+        teacher-forced forward given the same mask (VERDICT r1 #6: the mask
+        used to be dropped at generation)."""
+        m, variables, batch, cfg = make_model_and_batch(seed=5)
+        B = 2
+        vis_mask = jnp.asarray([[1, 1, 0, 0], [1, 0, 0, 0]], jnp.int32)
+        out = seq2seq_generate(m, variables, **batch,
+                               vis_attention_mask=vis_mask, ctx=PetContext(),
+                               num_beams=1, max_length=8)
+        # manual argmax loop through the full forward with the same mask
+        ctx = PetContext()
+        enc_out, joint_mask = m.apply(variables, batch["input_ids"],
+                                      batch["attention_mask"],
+                                      batch["vis_feats"], batch["boxes"],
+                                      None, None, vis_mask, ctx,
+                                      method=VLBart.encode)
+        seqs = np.full((B, 8), cfg.backbone.pad_token_id)
+        seqs[:, 0] = cfg.backbone.decoder_start_token_id
+        finished = [False] * B
+        for t in range(7):
+            logits = m.apply(variables, jnp.asarray(seqs[:, :t + 1]), enc_out,
+                             joint_mask, ctx, method=VLBart.decode_train)
+            nxt = np.argmax(np.asarray(logits[:, -1]), axis=-1)
+            for b in range(B):
+                if not finished[b]:
+                    seqs[b, t + 1] = nxt[b]
+                    if nxt[b] == cfg.backbone.eos_token_id:
+                        finished[b] = True
+            if all(finished):
+                break
+        np.testing.assert_array_equal(np.asarray(out), seqs)
+        # and the mask must actually reach attention: first-step logits differ
+        # from the unmasked forward
+        enc_out2, joint_mask2 = m.apply(variables, batch["input_ids"],
+                                        batch["attention_mask"],
+                                        batch["vis_feats"], batch["boxes"],
+                                        None, None, None, ctx,
+                                        method=VLBart.encode)
+        dec = jnp.asarray(seqs[:, :1])
+        l_masked = m.apply(variables, dec, enc_out, joint_mask, ctx,
+                           method=VLBart.decode_train)
+        l_nomask = m.apply(variables, dec, enc_out2, joint_mask2, ctx,
+                           method=VLBart.decode_train)
+        assert not np.allclose(np.asarray(l_masked), np.asarray(l_nomask))
+
+
 class TestBeam:
     def test_beam1_matches_greedy(self):
         m, variables, batch, _ = make_model_and_batch()

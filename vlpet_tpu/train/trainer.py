@@ -44,7 +44,7 @@ from vlpet_tpu.parallel.mesh import MeshConfig, batch_sharding, build_mesh
 
 ARRAY_BATCH_KEYS = ("input_ids", "attention_mask", "vis_feats", "boxes",
                     "img_order_ids", "obj_order_ids", "vis_attention_mask",
-                    "target_ids", "scores", "decoder_input_ids")
+                    "target_ids", "scores", "decoder_input_ids", "images")
 
 
 def array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -61,13 +61,33 @@ class Trainer:
                  tokenizer=None, backbone_ckpt: Optional[str] = None,
                  load: Optional[str] = None, mesh_model_axis: int = 1,
                  gradient_accumulation_steps: int = 1,
-                 verbose: bool = True, use_wandb: bool = False):
+                 verbose: bool = True, use_wandb: bool = False,
+                 raw_vis_backbone: Optional[str] = None,
+                 image_size: int = 224,
+                 vis_adapter_type: Optional[str] = None,
+                 vis_pooling_output: bool = False,
+                 clip_ckpt: Optional[str] = None):
         self.cfg = cfg
         self.tasks = tuple(tasks)
         self.tokenizer = tokenizer
         self.output_dir = output_dir
         self.verbose = verbose
-        self.model = VLT5(cfg) if cfg.is_t5 else VLBart(cfg)
+        # raw_* feature types: the CLIP trunk runs inside the train step so
+        # --unfreeze_vis_encoder / --use_vis_adapter gradients flow end-to-end
+        # (reference: multitask.py:648-660 raw feature_type + vis_forward)
+        self.raw = raw_vis_backbone is not None
+        self.batch_stats = None
+        if self.raw:
+            from vlpet_tpu.vision.vis_encoder import RawInputVLModel
+
+            self.model = RawInputVLModel(
+                cfg, vis_backbone=raw_vis_backbone, image_size=image_size,
+                vis_adapter_type=(vis_adapter_type
+                                  if cfg.pet.use_vis_adapter else None),
+                vis_pooling_output=vis_pooling_output)
+            self.image_size = image_size
+        else:
+            self.model = VLT5(cfg) if cfg.is_t5 else VLBart(cfg)
         self.logger = MetricsLogger(output_dir, use_wandb=use_wandb,
                                     verbose=verbose)
 
@@ -85,10 +105,30 @@ class Trainer:
             input_ids=jnp.ones((2, 4), jnp.int32),
             attention_mask=jnp.ones((2, 4), jnp.int32),
             labels=jnp.ones((2, 3), jnp.int32))
-        if not cfg.vis.no_vis:
+        if self.raw:
+            dummy.update(images=jnp.ones((2, image_size, image_size, 3)))
+        elif not cfg.vis.no_vis:
             dummy.update(vis_feats=jnp.ones((2, cfg.vis.n_boxes, cfg.vis.feat_dim)),
                          boxes=jnp.zeros((2, cfg.vis.n_boxes, 4)))
-        params = self.model.init(rng, **dummy, ctx=PetContext())["params"]
+        variables = self.model.init(rng, **dummy, ctx=PetContext())
+        params = variables["params"]
+        self.batch_stats = variables.get("batch_stats")
+        if self.raw and clip_ckpt:
+            from vlpet_tpu.models.hf_import import load_torch_state_dict
+            from vlpet_tpu.vision.clip_import import clip_torch_to_flax
+
+            sub = {"params": params["vis_encoder"]}
+            if self.batch_stats is not None:
+                sub["batch_stats"] = self.batch_stats.get("vis_encoder", {})
+            new_vars, report = clip_torch_to_flax(
+                load_torch_state_dict(clip_ckpt), sub)
+            params = dict(params)
+            params["vis_encoder"] = new_vars["params"]
+            if self.batch_stats is not None:
+                self.batch_stats = dict(self.batch_stats)
+                self.batch_stats["vis_encoder"] = new_vars.get("batch_stats", {})
+            if verbose:
+                print(f"CLIP import: {len(report['filled'])} tensors")
         if backbone_ckpt:
             from vlpet_tpu.models.hf_import import (bart_hf_to_flax,
                                                     load_torch_state_dict,
@@ -126,9 +166,32 @@ class Trainer:
             self.tx = optax.MultiSteps(self.tx,
                                        every_k_schedule=gradient_accumulation_steps)
         self.state = TrainState.create(trainable, self.tx)
-        self.train_step = make_train_step(
-            self.model, self.tx, self.tasks,
-            lambda_z=(cfg.pet.lambda_z if cfg.pet.track_z else 0.0))
+        # place everything on the mesh: batches are ALWAYS sharded over
+        # 'data' (do_train_step pads partial batches), so the state must be
+        # mesh-placed or jit sees mixed device sets. Trainable PET params and
+        # optimizer state replicate (they're tiny and the TP rules replicate
+        # adapters anyway); the frozen backbone follows the TP rules.
+        from vlpet_tpu.parallel.mesh import param_shardings, replicated
+
+        rep = replicated(self.mesh)
+        self.state = TrainState(
+            step=jax.device_put(self.state.step, rep),
+            params=jax.device_put(self.state.params,
+                                  param_shardings(self.state.params, self.mesh)),
+            opt_state=jax.device_put(self.state.opt_state, rep))
+        self.frozen = jax.device_put(self.frozen,
+                                     param_shardings(self.frozen, self.mesh))
+        if self.batch_stats is not None:
+            self.batch_stats = jax.device_put(self.batch_stats, rep)
+        if self.raw:
+            from vlpet_tpu.train.steps import make_raw_train_step
+
+            self.train_step = make_raw_train_step(self.model, self.tx,
+                                                  self.tasks)
+        else:
+            self.train_step = make_train_step(
+                self.model, self.tx, self.tasks,
+                lambda_z=(cfg.pet.lambda_z if cfg.pet.track_z else 0.0))
         # rbg PRNG: TPU-native generator, ~8% faster train step than
         # threefry at flagship shapes (dropout bit generation; see PERF.md)
         self.rng = jax.random.key(seed + 1, impl="rbg")
@@ -148,7 +211,9 @@ class Trainer:
         self._nlvr_step = None
         # generation-only model variant: the fused Pallas attention wins
         # forward-only (PERF.md) — enable it for inference on TPU
-        if (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
+        if self.raw:
+            self.gen_model = self.model
+        elif (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
                 and not getattr(cfg, "use_pallas_attention", False)):
             gen_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
             self.gen_model = VLBart(gen_cfg)
@@ -167,11 +232,25 @@ class Trainer:
         task = batch["task"]
         arr = array_batch(batch)
         data_axis = self.mesh.shape["data"]
-        if len(batch["input_ids"]) % data_axis == 0:
-            arr = {k: jax.device_put(v, self.batch_shard) for k, v in arr.items()}
+        n = len(batch["input_ids"])
+        if n % data_axis:
+            # pad the final partial batch to the data axis by wrap-around
+            # duplication — the same semantics as the reference's
+            # DistributedSampler padding (caption_clip_data.py:372-377,
+            # torch DistributedSampler wraps indices) — so every step runs
+            # sharded; never fall back to a silent replicated step.
+            m = ((n + data_axis - 1) // data_axis) * data_axis
+            idx = jnp.arange(m) % n
+            arr = {k: jnp.take(v, idx, axis=0) for k, v in arr.items()}
+        arr = {k: jax.device_put(v, self.batch_shard) for k, v in arr.items()}
         self.rng, sub = jax.random.split(self.rng)
-        self.state, metrics = self.train_step(self.state, self.frozen, arr, sub,
-                                              self.task_idx(task))
+        if self.raw:
+            self.state, metrics = self.train_step(
+                self.state, self.frozen, self.batch_stats, arr, sub,
+                self.task_idx(task))
+        else:
+            self.state, metrics = self.train_step(self.state, self.frozen, arr,
+                                                  sub, self.task_idx(task))
         return metrics
 
     def train(self, train_loader, epochs: int, val_loaders=None,
@@ -230,14 +309,21 @@ class Trainer:
 
             @jax.jit
             def gen(params, batch):
+                variables = {"params": params}
+                if self.raw and self.batch_stats is not None:
+                    variables["batch_stats"] = self.batch_stats
                 return seq2seq_generate(
-                    self.gen_model, {"params": params},
+                    self.gen_model, variables,
                     input_ids=batch["input_ids"],
                     attention_mask=batch["attention_mask"],
-                    vis_feats=batch.get("vis_feats"),
+                    # raw mode: images ride the vis_feats slot of the
+                    # generation protocol (RawInputVLModel.encode)
+                    vis_feats=(batch.get("images") if self.raw
+                               else batch.get("vis_feats")),
                     boxes=batch.get("boxes"),
                     img_order_ids=batch.get("img_order_ids"),
                     obj_order_ids=batch.get("obj_order_ids"),
+                    vis_attention_mask=batch.get("vis_attention_mask"),
                     ctx=ctx, num_beams=num_beams, max_length=max_length)
 
             self._gen_cache[key] = gen
@@ -250,6 +336,7 @@ class Trainer:
         quesid2ans: Dict[Any, str] = {}
         predictions: List[str] = []
         targets: List = []
+        offset = 0  # running fallback id: batch-local range() would collide
         for batch in loader:
             arr = array_batch(batch)
             shapes_key = tuple(v.shape for v in arr.values())
@@ -260,11 +347,21 @@ class Trainer:
             predictions.extend(texts)
             if "targets" in batch:
                 targets.extend(batch["targets"])
-            for qid, text in zip(batch.get("question_ids", range(len(texts))),
-                                 texts):
+            qids = batch.get("question_ids",
+                             range(offset, offset + len(texts)))
+            offset += len(texts)
+            for qid, text in zip(qids, texts):
                 quesid2ans[qid] = text.strip()
-        return {"quesid2ans": quesid2ans, "predictions": predictions,
-                "targets": targets}
+        res = {"quesid2ans": quesid2ans, "predictions": predictions,
+               "targets": targets}
+        if jax.process_count() > 1:
+            # each host predicted its disjoint Loader shard; merge like the
+            # reference's dist gather (caption_clip_data.py:372-377 + DDP)
+            from vlpet_tpu.parallel.multihost import (all_gather_objects,
+                                                      merge_predict_results)
+
+            res = merge_predict_results(all_gather_objects(res))
+        return res
 
     def predict_nlvr(self, loader) -> Dict[Any, int]:
         """True/false-logit scoring, no generation
@@ -303,6 +400,13 @@ class Trainer:
                                                self.task_idx("nlvr")))
             for qid, p in zip(batch["question_ids"], preds):
                 out[qid] = int(p)
+        if jax.process_count() > 1:
+            from vlpet_tpu.parallel.multihost import all_gather_objects
+
+            merged: Dict[Any, int] = {}
+            for part in all_gather_objects(out):
+                merged.update(part)
+            out = merged
         return out
 
     def evaluate(self, loader, num_beams: Optional[int] = None,
@@ -350,9 +454,12 @@ class Trainer:
                                            "step": 0})
         if data is None:
             return None
-        self.state = TrainState(step=jnp.asarray(data["step"], jnp.int32),
-                                params=data["params"],
-                                opt_state=data["opt_state"])
+        from vlpet_tpu.parallel.mesh import replicated
+
+        self.state = TrainState(
+            step=jax.device_put(jnp.asarray(data["step"], jnp.int32),
+                                replicated(self.mesh)),
+            params=data["params"], opt_state=data["opt_state"])
         return int(data["step"])
 
 
