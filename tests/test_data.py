@@ -90,6 +90,38 @@ class TestLoader:
         ids1 = {q for b in l1 for q in b["question_ids"]}
         assert not (ids0 & ids1)
 
+    def test_sharded_eval_covers_everything_once(self):
+        """drop_last=False eval shards partition the dataset exactly — the
+        multi-host predict path then merges them (DistributedSampler
+        semantics, reference caption_clip_data.py:372-377)."""
+        full = make_loader("caption", n=17, batch_size=4)
+        full.shuffle = full.drop_last = False
+        want = [q for b in full for q in b["question_ids"]]
+        got = []
+        for s in range(3):
+            l = make_loader("caption", n=17, batch_size=4)
+            l.shuffle = l.drop_last = False
+            l.shard, l.num_shards = s, 3
+            got.extend(q for b in l for q in b["question_ids"])
+        assert sorted(got) == sorted(want)
+        assert len(got) == len(set(got))
+
+    def test_merge_predict_results(self):
+        from vlpet_tpu.parallel.multihost import merge_predict_results
+
+        merged = merge_predict_results([
+            {"quesid2ans": {1: "a"}, "predictions": ["a"], "targets": [["x"]]},
+            {"quesid2ans": {2: "b"}, "predictions": ["b"], "targets": [["y"]]},
+        ])
+        assert merged["quesid2ans"] == {1: "a", 2: "b"}
+        assert merged["predictions"] == ["a", "b"]
+        assert merged["targets"] == [["x"], ["y"]]
+
+    def test_all_gather_objects_single_process(self):
+        from vlpet_tpu.parallel.multihost import all_gather_objects
+
+        assert all_gather_objects({"k": [1, 2]}) == [{"k": [1, 2]}]
+
 
 class TestMultitask:
     def test_roundrobin_schedule_counts(self):

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 import math
 import os
+import re
 from typing import Dict, List, Optional, Tuple
 
 import numpy as np
@@ -53,13 +54,28 @@ def task_batch_size(task: str, base: int) -> int:
     return max(1, int(base * BATCH_SCALE.get(task, 1.0)))
 
 
+def parse_image_size(s) -> int:
+    """--image_size is reference-format: '(448,448)' or an int string."""
+    if isinstance(s, int):
+        return s
+    digits = [int(x) for x in re.findall(r"\d+", str(s))]
+    return digits[0] if digits else 224
+
+
 def feature_source_for(args, task: str):
     """Pick the loader family by --feature_type (reference: multitask.py:638-680):
-    'butd' → monolithic h5 with boxes; 'raw_*' → on-the-fly CLIP (vision
-    module); else → per-image clip-feature h5 (or a packed mmap if present)."""
+    'butd' → monolithic h5 with boxes; 'raw_*' → raw images (on-the-fly CLIP
+    trunk inside the train step, vision.vis_encoder.RawInputVLModel); else →
+    per-image clip-feature h5 (or a packed mmap if present)."""
     root = args.data_root
     if root is None:
         return None
+    if args.feature_type.startswith("raw_"):
+        from vlpet_tpu.data.features import ImageFolderSource
+
+        return ImageFolderSource(
+            os.path.join(root, "images"),
+            image_size=parse_image_size(getattr(args, "image_size", 224)))
     packed = os.path.join(root, f"{task}_features")
     if os.path.exists(packed + ".npy"):
         return PackedFeatureSource(packed)
@@ -116,9 +132,16 @@ def build_loaders(args, tasks: Tuple[str, ...], tokenizer, split: str,
                              seed=args.seed)
         bs = task_batch_size(task, args.batch_size if mode == "train"
                              else args.valid_batch_size)
+        # per-host disjoint shards (the reference's DistributedSampler role,
+        # caption_clip_data.py:372-377); eval shards too — Trainer.predict
+        # merges across hosts via process_allgather
+        from vlpet_tpu.parallel.multihost import host_shard
+
+        shard, num_shards = host_shard()
         loaders.append(Loader(ds, bs, shuffle=(mode == "train"),
                               drop_last=(mode == "train"),
-                              evaluator=make_evaluator(task, ds.examples)))
+                              evaluator=make_evaluator(task, ds.examples),
+                              shard=shard, num_shards=num_shards))
     return loaders
 
 
@@ -135,6 +158,14 @@ def main(argv=None):
 
     from vlpet_tpu.train.trainer import Trainer
 
+    raw_kw = {}
+    if args.feature_type.startswith("raw_"):
+        # 'raw_RN101' etc. — CLIP trunk inside the model (multitask.py:648-660)
+        raw_kw = dict(raw_vis_backbone=args.feature_type[len("raw_"):],
+                      image_size=parse_image_size(args.image_size),
+                      vis_adapter_type=args.vis_adapter_type,
+                      vis_pooling_output=args.vis_pooling_output,
+                      clip_ckpt=getattr(args, "clip_ckpt", None))
     trainer = Trainer(
         cfg, tasks, lr=args.lr, total_steps=total_steps,
         warmup_ratio=args.warmup_ratio, weight_decay=args.weight_decay,
@@ -143,7 +174,8 @@ def main(argv=None):
         seed=args.seed, output_dir=args.output, tokenizer=tokenizer,
         backbone_ckpt=args.backbone_ckpt, load=args.load,
         mesh_model_axis=args.mesh_model_axis,
-        gradient_accumulation_steps=args.gradient_accumulation_steps)
+        gradient_accumulation_steps=args.gradient_accumulation_steps,
+        **raw_kw)
     if args.resume:
         step = trainer.restore()
         if step is not None:

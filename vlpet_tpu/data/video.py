@@ -117,9 +117,12 @@ def build_video_loader(task: str, args, tokenizer, split: str, mode: str,
             feat_dim=int(args.feat_dim), seed=args.seed)
     ds = TaskDataset(cfg, examples, source, tokenizer, mode=mode,
                      seed=args.seed)
+    from vlpet_tpu.parallel.multihost import host_shard
+
+    shard, num_shards = host_shard()
     return Loader(ds, args.batch_size if mode == "train" else args.valid_batch_size,
                   shuffle=(mode == "train"), drop_last=(mode == "train"),
-                  evaluator=evaluator)
+                  evaluator=evaluator, shard=shard, num_shards=num_shards)
 
 
 def synthetic_video_data(task: str, n: int, n_frames: int = 64,
