@@ -94,8 +94,57 @@ class TestCaptionMetrics:
         res = ev.evaluate(
             ["a cat on a mat", "a bird in the sky"],
             [["a cat on a mat", "a cat sits on the mat"], ["a bird in the sky"]])
-        assert set(res) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "CIDEr"}
+        assert set(res) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "METEOR", "CIDEr"}
         assert res["CIDEr"] > 5
+        assert res["METEOR"] > 0.8  # near-identity captions
+
+
+class TestMeteor:
+    def test_identity_known_value(self):
+        """Perfect match of 6 tokens: P=R=F=1, 1 chunk, m=6 →
+        Pen = 0.5*(1/6)^3, score = 1 - 0.5/216 (Banerjee & Lavie 2005)."""
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        s = meteor(["the cat sat on the mat"], [["the cat sat on the mat"]])
+        assert s == pytest.approx(1.0 - 0.5 * (1 / 6) ** 3, abs=1e-9)
+
+    def test_full_scramble_chunk_penalty(self):
+        """Every aligned unigram its own chunk: chunks=m → Pen=0.5, and with
+        P=R=1 the score is exactly 0.5."""
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        s = meteor(["mat the on sat cat the"], [["the cat sat on the mat"]])
+        assert s == pytest.approx(0.5, abs=1e-9)
+
+    def test_stem_stage_matches_inflections(self):
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        with_stem = meteor(["a man is walking"], [["a man is walked"]])
+        disjoint = meteor(["a man is walking"], [["a man is flying"]])
+        assert with_stem > disjoint
+
+    def test_recall_weighted(self):
+        """alpha=0.9 weights recall: a hypothesis missing reference words
+        scores lower than one with extra words (same matches)."""
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        missing = meteor(["the cat"], [["the cat sat on the mat"]])
+        extra = meteor(["the cat sat on the mat tonight at home ok"],
+                       [["the cat sat on the mat"]])
+        assert extra > missing
+
+    def test_empty_and_disjoint(self):
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        assert meteor([""], [["a cat"]]) == 0.0
+        assert meteor(["xxx yyy"], [["a cat"]]) == 0.0
+
+    def test_best_reference_selected(self):
+        from vlpet_tpu.evalsuite.caption import meteor
+
+        multi = meteor(["a dog runs"], [["a cat sleeps", "a dog runs"]])
+        single = meteor(["a dog runs"], [["a cat sleeps"]])
+        assert multi > single
 
 
 class TestTVQA:

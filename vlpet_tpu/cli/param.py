@@ -137,6 +137,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--freeze_bn_statistics", action="store_true")
     add("--vis_adapter_type", type=str, default="middle-bottleneck")
     add("--vis_reduction_factor", type=int, default=2)
+    add("--clip_ckpt", type=str, default=None,
+        help="local OpenAI CLIP .pt state dict for the raw_* trunk "
+             "(offline substitute for the reference's clip.load)")
     add("--unfreeze_vis_encoder", action="store_true")
     add("--unfreeze_vis_last_layer", action="store_true")
     add("--unfreeze_batch_norms", action="store_true")

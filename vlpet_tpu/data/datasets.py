@@ -73,7 +73,15 @@ class TaskDataset:
         out: Dict[str, Any] = {"task": cfg.task}
 
         if cfg.use_vision:
-            if cfg.task == "nlvr":
+            if getattr(self.source, "is_raw", False):
+                # raw_* path: the batch carries preprocessed images; the CLIP
+                # trunk runs inside the model (RawInputVLModel)
+                if cfg.task == "nlvr":
+                    raise NotImplementedError(
+                        "raw-image NLVR (two images per example) is not "
+                        "wired; use extracted features for nlvr")
+                out["images"], _ = self.source.get(d["img_id"])
+            elif cfg.task == "nlvr":
                 f0, b0 = self.source.get(d["img_ids"][0])
                 f1, b1 = self.source.get(d["img_ids"][1])
                 out["vis_feats"] = np.concatenate([f0, f1], axis=0)
@@ -151,7 +159,9 @@ class TaskDataset:
                 ids = e["target_ids"][:t_len]
                 target_ids[i, :len(ids)] = ids
             out["target_ids"] = target_ids
-        if cfg.use_vision:
+        if cfg.use_vision and "images" in batch[0]:
+            out["images"] = np.stack([e["images"] for e in batch]).astype(np.float32)
+        elif cfg.use_vision:
             out["vis_feats"] = np.stack([e["vis_feats"] for e in batch]).astype(np.float32)
             out["boxes"] = np.stack([e["boxes"] for e in batch]).astype(np.float32)
             if "img_order_ids" in batch[0]:

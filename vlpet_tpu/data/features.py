@@ -163,7 +163,10 @@ class ImageFolderSource:
     """Raw-image source for the raw_* feature_type: {dir}/{img_id}.{jpg,png}
     loaded with PIL and CLIP-preprocessed to (H, W, 3) float32. Used with
     vision.vis_encoder.RawInputVLModel (the batch carries images, not
-    features)."""
+    features): ``is_raw`` makes TaskDataset emit example['images'] and the
+    raw Trainer path run the CLIP trunk inside the train step."""
+
+    is_raw = True
 
     def __init__(self, directory: str, image_size: int = 224):
         self.directory = directory

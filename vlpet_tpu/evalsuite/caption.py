@@ -14,7 +14,8 @@ separate handling, split on whitespace. Scores can differ from the Java
 stack by a small tokenization epsilon on real data; algorithmic behavior
 (identity captions → CIDEr 10, BLEU 1.0) is exact and unit-tested.
 
-METEOR / SPICE need the Java toolchain and are reported as None.
+METEOR is the pure-Python exact+Porter-stem variant (see meteor() below);
+SPICE needs the Java scene-graph parser and is reported as None.
 """
 
 from __future__ import annotations
@@ -173,6 +174,97 @@ def cider_d(candidates: List[str], references: List[List[str]],
 
 
 # ---------------------------------------------------------------------------
+# METEOR (pure Python: exact + Porter-stem matching)
+# ---------------------------------------------------------------------------
+
+
+def _stems(tokens: List[str]) -> List[str]:
+    try:
+        from nltk.stem.porter import PorterStemmer
+
+        st = PorterStemmer()
+        return [st.stem(t) for t in tokens]
+    except Exception:  # nltk unavailable → exact-only matching
+        return list(tokens)
+
+
+def _meteor_align(hyp: List[str], ref: List[str]):
+    """Greedy two-stage (exact, then stem) unigram alignment.
+
+    Returns (matches, chunks): each hyp position maps to at most one ref
+    position; chunks counts maximal runs that are contiguous AND in order
+    in both strings (the METEOR fragmentation unit)."""
+    ref_used = [False] * len(ref)
+    align = [-1] * len(hyp)
+
+    def stage(h_tokens, r_tokens):
+        for i, ht in enumerate(h_tokens):
+            if align[i] >= 0:
+                continue
+            for j, rt in enumerate(r_tokens):
+                if not ref_used[j] and ht == rt:
+                    align[i] = j
+                    ref_used[j] = True
+                    break
+
+    stage(hyp, ref)
+    stage(_stems(hyp), _stems(ref))
+    pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
+    m = len(pairs)
+    chunks = 0
+    prev = None
+    for i, j in pairs:  # pairs already sorted by hyp position
+        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+            chunks += 1
+        prev = (i, j)
+    return m, chunks
+
+
+def meteor(predicts: List[str], references: List[List[str]],
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
+    """Corpus METEOR with exact + Porter-stem matching.
+
+    Classic Banerjee & Lavie (2005) scoring: Fmean = P*R/(alpha*P +
+    (1-alpha)*R) (alpha=0.9 == the original 10PR/(R+9P)), fragmentation
+    penalty gamma*(chunks/m)**beta, best reference per segment, statistics
+    aggregated over the corpus (as the Java Meteor jar does). Differences
+    vs the reference's Java Meteor-1.5 (requirements.txt:14): no WordNet
+    synonym/paraphrase stages and no stage weights — scores track but do
+    not exactly equal the Java numbers; SPICE genuinely requires the Java
+    toolchain and stays None.
+    """
+    tm = th = tr = tch = 0.0
+    for pred, refs in zip(predicts, references):
+        hyp_t = ptb_tokenize(pred)
+        best = None  # (score, m, hyp_len, ref_len, chunks)
+        for ref in refs:
+            ref_t = ptb_tokenize(ref)
+            m, ch = _meteor_align(hyp_t, ref_t)
+            if m == 0 or not hyp_t or not ref_t:
+                cand = (0.0, 0, len(hyp_t), len(ref_t), 0)
+            else:
+                p = m / len(hyp_t)
+                r = m / len(ref_t)
+                f = p * r / (alpha * p + (1 - alpha) * r)
+                pen = gamma * (ch / m) ** beta
+                cand = (f * (1 - pen), m, len(hyp_t), len(ref_t), ch)
+            if best is None or cand[0] > best[0]:
+                best = cand
+        _, m, hl, rl, ch = best
+        tm += m
+        th += hl
+        tr += rl
+        tch += ch
+    if tm == 0 or th == 0 or tr == 0:
+        return 0.0
+    p = tm / th
+    r = tm / tr
+    f = p * r / (alpha * p + (1 - alpha) * r)
+    pen = gamma * (tch / tm) ** beta
+    return f * (1 - pen)
+
+
+# ---------------------------------------------------------------------------
 # Evaluator facade
 # ---------------------------------------------------------------------------
 
@@ -182,7 +274,7 @@ class COCOCaptionEvaluator:
     (reference: caption_clip_data.py:401-410)."""
 
     def __init__(self, coco_types: Optional[List[str]] = None):
-        self.coco_types = coco_types or ["BLEU", "ROUGE_L", "CIDEr"]
+        self.coco_types = coco_types or ["BLEU", "ROUGE_L", "METEOR", "CIDEr"]
 
     def evaluate(self, predicts: List[str], answers: List) -> Dict[str, float]:
         # answers: list of str or list of list-of-str
@@ -197,7 +289,7 @@ class COCOCaptionEvaluator:
         if "CIDEr" in self.coco_types:
             results["CIDEr"] = cider_d(predicts, refs)
         if "METEOR" in self.coco_types:
-            results["METEOR"] = None  # Java-only in the original stack
+            results["METEOR"] = meteor(predicts, refs)
         if "SPICE" in self.coco_types:
-            results["SPICE"] = None
+            results["SPICE"] = None  # scene-graph parser is Java-only
         return results

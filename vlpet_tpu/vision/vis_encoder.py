@@ -67,6 +67,29 @@ class RawInputVLModel(nn.Module):
                        labels=labels, ctx=ctx, deterministic=deterministic,
                        reduce_loss=reduce_loss)
 
+    # --- generation-facing methods (vlpet_tpu.models.generate protocol) -----
+
+    def encode(self, input_ids, attention_mask, images, boxes=None,
+               img_order_ids=None, obj_order_ids=None, vis_attention_mask=None,
+               ctx: PetContext = None):
+        """Images ride in the vis_feats slot of the generation protocol —
+        the CLIP trunk runs here, then the joint encoder."""
+        feats, fboxes = self.vis_forward(images, train=False)
+        return self.vl.encode(input_ids, attention_mask, feats, fboxes,
+                              img_order_ids, obj_order_ids,
+                              vis_attention_mask, ctx)
+
+    def init_decode(self, encoder_hidden_states, ctx: PetContext = None):
+        return self.vl.init_decode(encoder_hidden_states, ctx)
+
+    def decode_step(self, decoder_input_ids, joint_mask, cross_kvs, cache,
+                    decode_pos, ctx: PetContext = None, beam_anc=None):
+        return self.vl.decode_step(decoder_input_ids, joint_mask, cross_kvs,
+                                   cache, decode_pos, ctx, beam_anc)
+
+    def init_decoder_prefix(self, batch_size: int):
+        return self.vl.init_decoder_prefix(batch_size)
+
 
 def raw_feat_dim(backbone: str) -> int:
     """feat_dim per raw backbone (reference: multitask.py:648-660)."""
