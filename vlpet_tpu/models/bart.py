@@ -241,7 +241,13 @@ class BartAttention(nn.Module):
         # q,k,v: (B, L, H, Dh); attention logits accumulate in fp32
         B, L = q.shape[:2]
         S = k.shape[1]
-        use_pallas = (getattr(self.cfg, "use_pallas_attention", False)
+        # Pallas fused attention is the default on TPU: it keeps the fp32
+        # logits in VMEM and reads q/k/v in the projection-native
+        # (B, L, H*Dh) layout, killing both the (B,H,L,S) HBM round trips
+        # and the head-transpose copies (fwd+bwd 3.9 vs 6.3 ms at flagship
+        # encoder shapes — PERF.md round 2). CPU keeps the XLA einsum path.
+        use_pallas = ((getattr(self.cfg, "use_pallas_attention", False)
+                       or jax.default_backend() not in ("cpu",))
                       and (self.dropout == 0.0 or deterministic)
                       and mask is not None and L > 1)
         if use_pallas:

@@ -207,6 +207,23 @@ class T5Attention(nn.Module):
         else:
             k = self._shape(self.k(hidden_states))
             v = self._shape(self.v(hidden_states))
+        B, L = q.shape[:2]
+        S = k.shape[1]
+        use_pallas = (jax.default_backend() not in ("cpu",)
+                      and (b.dropout_rate == 0.0 or deterministic)
+                      and position_bias is not None and L > 1)
+        if use_pallas:
+            # fused VMEM attention in projection-native layout (see
+            # models/bart.py _attend); position_bias rides as the additive
+            # (1|B, H|1, L, S) mask
+            from vlpet_tpu.ops.attention import fused_attention
+
+            m = jnp.broadcast_to(position_bias,
+                                 position_bias.shape[:2] + (L, S))
+            out = fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
+                                  v.reshape(B, S, -1),
+                                  m.astype(jnp.float32), b.num_heads)
+            return self.o(out), new_cache
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if position_bias is not None:
@@ -215,7 +232,6 @@ class T5Attention(nn.Module):
         if b.dropout_rate > 0:
             probs = self.attn_dropout(probs, deterministic=deterministic)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        B, L = q.shape[:2]
         return self.o(out.reshape(B, L, b.num_heads * b.d_kv)), new_cache
 
 

@@ -1,21 +1,25 @@
-"""Short-sequence fused attention (Pallas TPU).
+"""Short-sequence fused attention (Pallas TPU), forward + backward.
 
 VL-PET sequences are tiny (≤104 joint tokens, ≤600 for video QA), so a whole
 (L, S) attention matrix per head fits comfortably in VMEM — no flash-style
-tiling needed. This kernel fuses QK^T → +mask → softmax → ·V per (batch)
-program, keeping the fp32 logits entirely on-chip; XLA's default lowering
-round-trips the (B, H, L, S) logits through HBM and inserts layout copies
-(see PERF.md). Measured 2.40 ms vs 3.76 ms XLA at the flagship encoder shape
-(B=500, L=S=56, H=12, Dh=64) on v5e.
+tiling needed. The kernels fuse QK^T → +mask → softmax → ·V per program,
+keeping the fp32 logits entirely on-chip. XLA's default lowering both
+round-trips the (B, H, L, S) logits through HBM and materializes ~110
+(B, L, H, Dh) ↔ (B, H, L, Dh) layout copies per train step (31 ms of the
+176 ms flagship step — PERF.md).
 
-Layout: q, k, v are (B, L, H·Dh) — the natural projection output, so no
-(B, L, H, Dh) ↔ (B, H, L, Dh) transposes are ever materialized. The head
-loop is unrolled inside the kernel. ``mask`` is additive, shape
-(B, 1, L, S) or per-head (B, H, L, S) (T5 relative bias).
+Layout: q, k, v are (B, L, H·Dh) — the natural projection-GEMM output, so
+no head transposes are ever materialized. Each program processes a
+multi-row block of TB batch elements (all heads), and every head's matmuls
+carry the TB batch dim in one dot_general — the round-1 kernel's
+(B,)-grid of 500 single-row programs with an unrolled head loop serialized
+the backward (PERF.md "What was tried"); this version wins in training too.
 
-Gradients: jax.custom_vjp with the backward = VJP of the identical jnp
-reference (recompute), so training gets the fast forward and a standard XLA
-backward.
+``mask`` is additive, (B|1, 1|H, L, S) (per-head = T5 relative bias).
+
+Gradients: jax.custom_vjp; the backward kernel recomputes the softmax in
+VMEM (standard recompute) and emits dq/dk/dv in the same multi-row layout.
+The mask gets a zero cotangent (frozen in every PET recipe).
 """
 
 from __future__ import annotations
@@ -31,24 +35,49 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 
 
-def _kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-            q_ref, k_ref, v_ref, mask_ref, out_ref):
+def _block_rows(B: int, cap: int = 16) -> int:
+    """Largest divisor of B that is <= cap (multi-row program blocks)."""
+    for tb in range(min(cap, B), 0, -1):
+        if B % tb == 0:
+            return tb
+    return 1
+
+
+def _heads(q_ref, h, head_dim):
+    sl = slice(h * head_dim, (h + 1) * head_dim)
+    return q_ref[:, :, sl]
+
+
+def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
+                q_ref, k_ref, v_ref, mask_ref, out_ref):
     shared_mask = None
     if not per_head_mask:
-        shared_mask = mask_ref[0, 0].astype(jnp.float32)  # (L, S)
+        shared_mask = mask_ref[:, 0].astype(jnp.float32)  # (TBm, L, S)
     for h in range(num_heads):
-        sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        q = _heads(q_ref, h, head_dim)      # (TB, L, Dh)
+        k = _heads(k_ref, h, head_dim)      # (TB, S, Dh)
+        v = _heads(v_ref, h, head_dim)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         mask = shared_mask if shared_mask is not None \
-            else mask_ref[0, h].astype(jnp.float32)
-        s = s + mask
+            else mask_ref[:, h].astype(jnp.float32)
+        s = s + mask  # broadcasts (1, L, S) or matches (TB, L, S)
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-        o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-        out_ref[0, :, sl] = o.astype(out_ref.dtype)
+        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        out_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
+
+
+def _specs(B, L, S, inner, Hm, Bm, tb, ms):
+    spec_q = pl.BlockSpec((tb, L, inner), lambda b: (b, 0, 0), memory_space=ms)
+    spec_kv = pl.BlockSpec((tb, S, inner), lambda b: (b, 0, 0), memory_space=ms)
+    if Bm == 1:
+        spec_m = pl.BlockSpec((1, Hm, L, S), lambda b: (0, 0, 0, 0),
+                              memory_space=ms)
+    else:
+        spec_m = pl.BlockSpec((tb, Hm, L, S), lambda b: (b, 0, 0, 0),
+                              memory_space=ms)
+    return spec_q, spec_kv, spec_m
 
 
 def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
@@ -58,14 +87,12 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     head_dim = inner // num_heads
     Hm = mask.shape[1]
     per_head = Hm == num_heads and num_heads > 1
+    tb = _block_rows(B)
     ms = pl.ANY if interpret else pltpu.VMEM
-    spec_q = pl.BlockSpec((1, L, inner), lambda b: (b, 0, 0), memory_space=ms)
-    spec_kv = pl.BlockSpec((1, S, inner), lambda b: (b, 0, 0), memory_space=ms)
-    bidx = (lambda b: (b, 0, 0, 0)) if mask.shape[0] != 1 else (lambda b: (0, 0, 0, 0))
-    spec_m = pl.BlockSpec((1, Hm, L, S), bidx, memory_space=ms)
+    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], tb, ms)
     return pl.pallas_call(
-        functools.partial(_kernel, num_heads, head_dim, per_head),
-        grid=(B,),
+        functools.partial(_fwd_kernel, num_heads, head_dim, per_head),
+        grid=(B // tb,),
         in_specs=[spec_q, spec_kv, spec_kv, spec_m],
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((B, L, inner), q.dtype),
@@ -91,38 +118,39 @@ def fused_attention_reference(q, k, v, mask, num_heads):
 def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
                 q_ref, k_ref, v_ref, mask_ref, do_ref,
                 dq_ref, dk_ref, dv_ref):
-    """Fused attention backward: recomputes p in VMEM and emits dq/dk/dv —
-    no HBM round trips for the (L, S) intermediates."""
+    """Recomputes p in VMEM and emits dq/dk/dv — no HBM round trips for the
+    (TB, L, S) intermediates."""
     shared_mask = None
     if not per_head_mask:
-        shared_mask = mask_ref[0, 0].astype(jnp.float32)
+        shared_mask = mask_ref[:, 0].astype(jnp.float32)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
-        q = q_ref[0, :, sl]
-        k = k_ref[0, :, sl]
-        v = v_ref[0, :, sl]
-        do = do_ref[0, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+        q = q_ref[:, :, sl]
+        k = k_ref[:, :, sl]
+        v = v_ref[:, :, sl]
+        do = do_ref[:, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         mask = shared_mask if shared_mask is not None \
-            else mask_ref[0, h].astype(jnp.float32)
+            else mask_ref[:, h].astype(jnp.float32)
         p = jax.nn.softmax(s + mask, axis=-1)
-        # dv = p^T @ do
-        dv = jax.lax.dot_general(p, do, (((0,), (0,)), ((), ())),
+        # dv = p^T @ do   (contract L)
+        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         # dp = do @ v^T ; ds = p * (dp - rowsum(dp*p))
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
-                                 (((1,), (1,)), ((), ())),
+                                 (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-        dq = jnp.dot(ds, k.astype(jnp.float32),
-                     preferred_element_type=jnp.float32)
-        dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
-                                 (((0,), (0,)), ((), ())),
+        dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
+                                 (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
-        dk_ref[0, :, sl] = dk.astype(dk_ref.dtype)
-        dv_ref[0, :, sl] = dv.astype(dv_ref.dtype)
+        dk = jax.lax.dot_general(ds, q.astype(jnp.float32),
+                                 (((1,), (1,)), ((0,), (0,))),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[:, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[:, :, sl] = dk.astype(dk_ref.dtype)
+        dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
 def _pallas_attention_bwd(q, k, v, mask, do, num_heads, *, interpret=False):
@@ -131,14 +159,12 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, *, interpret=False):
     head_dim = inner // num_heads
     Hm = mask.shape[1]
     per_head = Hm == num_heads and num_heads > 1
+    tb = _block_rows(B)
     ms = pl.ANY if interpret else pltpu.VMEM
-    spec_q = pl.BlockSpec((1, L, inner), lambda b: (b, 0, 0), memory_space=ms)
-    spec_kv = pl.BlockSpec((1, S, inner), lambda b: (b, 0, 0), memory_space=ms)
-    bidx = (lambda b: (b, 0, 0, 0)) if mask.shape[0] != 1 else (lambda b: (0, 0, 0, 0))
-    spec_m = pl.BlockSpec((1, Hm, L, S), bidx, memory_space=ms)
+    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], tb, ms)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads, head_dim, per_head),
-        grid=(B,),
+        grid=(B // tb,),
         in_specs=[spec_q, spec_kv, spec_kv, spec_m, spec_q],
         out_specs=(spec_q, spec_kv, spec_kv),
         out_shape=(jax.ShapeDtypeStruct((B, L, inner), q.dtype),
