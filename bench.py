@@ -40,9 +40,8 @@ def main():
 
     import dataclasses
     cfg, tasks = _flagship_cfg()
-    # MXU-native bf16 compute. (Pallas fused attention measured faster in
-    # isolation but slower end-to-end in training — see PERF.md — so the
-    # XLA attention path stays default.)
+    # MXU-native bf16 compute; the multi-row Pallas fused attention is the
+    # default on TPU (fwd+bwd 3.9 vs 6.3 ms at these shapes — PERF.md r2).
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = VLBart(cfg)
 

@@ -142,3 +142,79 @@ def test_fused_attention_backward_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-5, atol=2e-5)
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
+
+
+def test_fused_linear_ce_matches_reference():
+    """Fused linear+CE (ops/fused_ce.py): forward + dx vs the dense
+    log-softmax reference, including -100 ignore and the padded final
+    vocab tile (V not a multiple of the tile)."""
+    import vlpet_tpu.ops.fused_ce as fc
+
+    rng = np.random.default_rng(0)
+    N, D, V = 48, 64, 5000  # V % 4096 != 0 -> exercises tile padding
+    x = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, D)), jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)), jnp.float32)
+    labels = np.asarray(rng.integers(0, V, (N,)), np.int32)
+    labels[3] = labels[17] = -100
+    labels = jnp.asarray(labels)
+
+    run_fwd, run_bwd = fc._run_fwd, fc._run_bwd
+    fc._run_fwd = lambda *a, **k: run_fwd(*a, interpret=True, **k)
+    fc._run_bwd = lambda *a, **k: run_bwd(*a, interpret=True, **k)
+    try:
+        got = fc.fused_linear_ce(x, w, b, labels)
+        want = fc.fused_linear_ce_reference(x, w, b, labels)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+        assert float(got[3]) == 0.0 and float(got[17]) == 0.0
+        weights = jnp.arange(N, dtype=jnp.float32)
+        g1 = jax.grad(lambda x: jnp.sum(
+            fc.fused_linear_ce(x, w, b, labels) * weights))(x)
+        g2 = jax.grad(lambda x: jnp.sum(
+            fc.fused_linear_ce_reference(x, w, b, labels) * weights))(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-3)
+    finally:
+        fc._run_fwd, fc._run_bwd = run_fwd, run_bwd
+
+
+def test_beam_self_attend_pallas_matches_einsum():
+    """Pallas beam-self-attend (time-major cache, ancestry mask, per-head
+    bias) vs the einsum fallback, interpret mode."""
+    from vlpet_tpu.ops.decode import _beam_self_attend_pallas
+
+    rng = np.random.default_rng(0)
+    B, K, J, L, H, Dh = 8, 5, 5, 16, 4, 32
+    q = jnp.asarray(rng.normal(size=(B * K, 1, H, Dh)), jnp.float32)
+    k = jnp.asarray(rng.normal(size=(L, B * J, H, Dh)), jnp.float32)
+    v = jnp.asarray(rng.normal(size=(L, B * J, H, Dh)), jnp.float32)
+    anc = jnp.asarray(rng.integers(0, J, (B, K, L)), jnp.int32)
+    pos = 9
+    bias = jnp.asarray(rng.normal(size=(1, H, 1, L)), jnp.float32)
+
+    from vlpet_tpu.ops.decode import _BEAM_TB, beam_selection_mask
+
+    sel = beam_selection_mask(anc, pos, L, J)  # (B, K, J, L)
+    tb = _BEAM_TB
+    t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+    sel5 = jnp.where(jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+                     jnp.swapaxes(sel, 2, 3)[:, :, :, None, :], -1e9)
+    sel_big = sel5.reshape(B * K, L * tb * J)
+    bias_big = jnp.repeat(bias.reshape(H, L), tb * J, axis=1)
+    got = _beam_self_attend_pallas(
+        q.reshape(B * K, H * Dh), k.reshape(L, B * J, H * Dh),
+        v.reshape(L, B * J, H * Dh), sel_big, bias_big, H, K, J,
+        interpret=True)
+
+    # einsum reference (the CPU fallback in beam_decode_attend)
+    qb = q.reshape(B, K, H, Dh)
+    kb = k.reshape(L, B, J, H, Dh)
+    vb = v.reshape(L, B, J, H, Dh)
+    logits = jnp.einsum("bqhd,lbjhd->bhqjl", qb, kb)
+    logits = logits + sel[:, None]
+    logits = logits + jnp.swapaxes(bias, 0, 1).reshape(1, H, 1, 1, L)
+    p = jax.nn.softmax(logits.reshape(B, H, K, J * L), axis=-1)
+    want = jnp.einsum("bhqjl,lbjhd->bqhd", p.reshape(B, H, K, J, L), vb)
+    np.testing.assert_allclose(np.asarray(got).reshape(B, K, H, Dh),
+                               np.asarray(want), rtol=2e-5, atol=2e-5)

@@ -479,6 +479,10 @@ class VLModelConfig:
     dtype: str = "float32"
     # fused short-sequence Pallas attention (TPU only; see vlpet_tpu/ops)
     use_pallas_attention: bool = False
+    # fused linear+cross-entropy (TPU, frozen lm head; ops/fused_ce.py).
+    # Off by default: wins forward-only (5.7 vs 9.7 ms at flagship shapes)
+    # but the backward's logits recompute loses the fwd+bwd total (PERF.md)
+    use_fused_ce: bool = False
 
     @property
     def is_t5(self) -> bool:

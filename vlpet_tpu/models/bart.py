@@ -204,6 +204,22 @@ class BartAttention(nn.Module):
         B, L, _ = x.shape
         return x.reshape(B, L, self.num_heads, self.head_dim)
 
+    def _qkv_fused(self, hidden_states: Array):
+        """q/k/v in ONE (d, 3d) GEMM — one read of the activations instead
+        of three; params keep their q_proj/k_proj/v_proj names (freezing +
+        HF-import parity), the kernels are concatenated at apply time
+        (loop-invariant, fused by XLA)."""
+        qk, qb = self.q_proj.kb()
+        kk, kb = self.k_proj.kb()
+        vk, vb = self.v_proj.kb()
+        dt = self._dtype
+        W = jnp.concatenate([qk, kk, vk], axis=1).astype(dt)
+        bias = jnp.concatenate([qb, kb, vb]).astype(dt)
+        lead = hidden_states.shape[:-1]
+        y = hidden_states.reshape(-1, self.embed_dim).astype(dt) @ W + bias
+        q, k, v = jnp.split(y.reshape(lead + (3 * self.embed_dim,)), 3, axis=-1)
+        return self._shape(q * self.scaling), self._shape(k), self._shape(v)
+
     def compute_cross_kv(self, kv_states: Array, ctx: PetContext) -> Tuple[Array, Array]:
         """Projection + hooks for cross-attention K/V, in (B, S, H, Dh).
 
@@ -286,9 +302,10 @@ class BartAttention(nn.Module):
         row order and the mask routes each beam to its ancestors' slots.
         In the same mode, a cross_kv whose batch is smaller than the hidden
         batch is treated as beam-shared (un-expanded encoder KV)."""
-        q = self._shape(self.q_proj(hidden_states) * self.scaling)
+        fuse_qkv = self.role != "cross" and isinstance(self.q_proj, TaskDense)
         new_cache = cache
         if self.role == "cross":
+            q = self._shape(self.q_proj(hidden_states) * self.scaling)
             if cross_kv is None:
                 k, v = self.compute_cross_kv(kv_states, ctx)
             else:
@@ -303,8 +320,12 @@ class BartAttention(nn.Module):
             # Cache is TIME-MAJOR (L, B, H, Dh) so this is a leading-dim
             # dynamic_update_slice — the in-place pattern on TPU (the
             # batch-major form copied the whole buffer each step, PERF.md).
-            k_new = self._shape(self.k_proj(hidden_states))  # (B, 1, H, Dh)
-            v_new = self._shape(self.v_proj(hidden_states))
+            if fuse_qkv:
+                q, k_new, v_new = self._qkv_fused(hidden_states)
+            else:
+                q = self._shape(self.q_proj(hidden_states) * self.scaling)
+                k_new = self._shape(self.k_proj(hidden_states))
+                v_new = self._shape(self.v_proj(hidden_states))
             k = jax.lax.dynamic_update_slice(
                 cache["k"], k_new.swapaxes(0, 1).astype(cache["k"].dtype),
                 (decode_pos, 0, 0, 0))
@@ -320,8 +341,12 @@ class BartAttention(nn.Module):
                 out = decode_attend(q, k, v, attention_mask)
             return self.out_proj(out), new_cache
         else:
-            k = self._shape(self.k_proj(hidden_states))
-            v = self._shape(self.v_proj(hidden_states))
+            if fuse_qkv:
+                q, k, v = self._qkv_fused(hidden_states)
+            else:
+                q = self._shape(self.q_proj(hidden_states) * self.scaling)
+                k = self._shape(self.k_proj(hidden_states))
+                v = self._shape(self.v_proj(hidden_states))
             if prefix_kv is not None:
                 k = jnp.concatenate([prefix_kv[0].astype(k.dtype), k], axis=1)
                 v = jnp.concatenate([prefix_kv[1].astype(v.dtype), v], axis=1)

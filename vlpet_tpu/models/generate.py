@@ -253,7 +253,19 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
 
     # beam mode: joint_mask and cross_kvs stay UN-expanded at B rows — the
     # K beams of a batch element share one encoder-KV copy (ops/decode.py
-    # beam_cross_attend), cutting cross-attention read traffic by K
+    # beam_cross_attend), cutting cross-attention read traffic by K.
+    # B pads to a multiple of 8 so the pallas beam-self-attend kernel's
+    # (tb*J)-row cache blocks stay sublane-aligned; padded rows generate
+    # garbage that is sliced off at the end.
+    B_true = B
+    if num_beams > 1:
+        B = -(-B // 8) * 8
+        if B != B_true:
+            pad = B - B_true
+            joint_mask = jnp.pad(joint_mask, ((0, pad), (0, 0)))
+            cross_kvs = jax.tree_util.tree_map(
+                lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)),
+                cross_kvs)
     n = B * num_beams if num_beams > 1 else B
 
     # decoder attention-prefix: prefill the first P cache slots once and
@@ -284,5 +296,5 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
     if num_beams > 1:
         seqs, _ = beam_generate(decode_step, cache, B, num_beams, max_length,
                                 start, eos, pad, length_penalty, pos_offset=P)
-        return seqs
+        return seqs[:B_true]
     return greedy_generate(decode_step, cache, B, max_length, start, eos, pad)

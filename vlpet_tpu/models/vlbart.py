@@ -188,9 +188,38 @@ class VLBart(nn.Module):
         if output_hidden_states:
             out["decoder_last_hidden_state"] = dec_out
         if labels is not None:
-            out["loss"] = cross_entropy_with_ignore(logits, labels,
-                                                    reduce=reduce_loss)
+            out["loss"] = self._ce(dec_out, logits, labels, reduce_loss)
         return out
+
+    def _ce(self, dec_out: Array, logits: Array, labels: Array,
+            reduce_loss: bool) -> Array:
+        """CE loss; on TPU with a frozen lm head, the fused linear+CE kernel
+        computes it straight from dec_out — the (B, T, V) logits are then
+        dead code in the train step and never materialize (ops/fused_ce.py).
+        Statically safe: freezing.py trains `shared` only under
+        unfreeze_language_model / unfreeze_lm_head."""
+        from vlpet_tpu.ops.fused_ce import pick_row_tile
+
+        p = self.cfg.pet
+        fused_ok = (getattr(self.cfg, "use_fused_ce", False)
+                    and jax.default_backend() not in ("cpu",)
+                    and self.output_adapter is None
+                    and not p.unfreeze_lm_head
+                    and not p.unfreeze_language_model
+                    and pick_row_tile(labels.size) is not None)
+        if not fused_ok:
+            return cross_entropy_with_ignore(logits, labels,
+                                             reduce=reduce_loss)
+        from vlpet_tpu.ops.fused_ce import fused_linear_ce
+
+        B, T = labels.shape
+        per_tok = fused_linear_ce(
+            dec_out.reshape(B * T, -1), self.model.shared,
+            self.final_logits_bias[0], labels.reshape(-1)).reshape(B, T)
+        if reduce_loss:
+            valid = (labels != -100).sum()
+            return per_tok.sum() / jnp.maximum(valid, 1)
+        return per_tok
 
     # --- generation-facing methods (used via apply(..., method=...)) --------
 

@@ -27,10 +27,13 @@ traffic by another x(num_beams).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 NEG_INF = -1.0e9
@@ -71,6 +74,68 @@ def decode_attend(q: Array, k: Array, v: Array,
     return out.reshape(B, 1, H * Dh)
 
 
+_BEAM_TB = 8  # batch elements per program (sublane-aligns tb*J cache rows)
+
+
+def _beam_self_kernel(num_heads: int, head_dim: int,
+                      q_ref, k_ref, v_ref, sel_ref, bias_ref, out_ref):
+    """Per program: tb batch elements. q (tb*K, H*Dh); k/v blocks are the
+    TIME-MAJOR cache rows (L, tb*J, H*Dh) — read natively, so the cache
+    never needs an XLA layout transpose (which forced a full copy per step
+    fused with the dynamic_update_slice).
+
+    All ops are 2-D: scores run against ALL tb*J rows of the block (a
+    (tb*K, L*tb*J) mask with -inf off the own-batch block-diagonal and off
+    the ancestry selects the true history; the x-tb extra score FLOPs are
+    ~0.1 ms/step, noise vs the HBM the layout copies cost). bias
+    (H, L*tb*J) is the per-head additive row (T5), zeros otherwise."""
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, sl]                             # (tb*K, Dh)
+        kh = k_ref[:, :, sl].reshape(-1, head_dim)   # (L*tb*J, Dh)
+        vh = v_ref[:, :, sl].reshape(-1, head_dim)
+        s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + sel_ref[:] + bias_ref[h][None, :]
+        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        out_ref[:, sl] = o.astype(out_ref.dtype)
+
+
+def _beam_self_attend_pallas(q2, k3, v3, sel_big, bias_big, num_heads,
+                             K: int, J: int, *, interpret=False):
+    """q2 (B*K, H*Dh); k3/v3 (L, B*J, H*Dh) time-major;
+    sel_big (B*K, L*tb*J); bias_big (H, L*tb*J) fp32."""
+    BK, inner = q2.shape
+    L = k3.shape[0]
+    tb = _BEAM_TB
+    B = BK // K
+    assert B % tb == 0, f"beam batch {B} must be padded to a multiple of {tb}"
+    head_dim = inner // num_heads
+    grid_n = B // tb
+    tbK = tb * K
+    tbJ = tb * J
+    ms = pl.ANY if interpret else pltpu.VMEM
+    return pl.pallas_call(
+        functools.partial(_beam_self_kernel, num_heads, head_dim),
+        grid=(grid_n,),
+        in_specs=[
+            pl.BlockSpec((tbK, inner), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((L, tbJ, inner), lambda i: (0, i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((L, tbJ, inner), lambda i: (0, i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((tbK, L * tbJ), lambda i: (i, 0), memory_space=ms),
+            pl.BlockSpec((num_heads, L * tbJ), lambda i: (0, 0),
+                         memory_space=ms),
+        ],
+        out_specs=pl.BlockSpec((tbK, inner), lambda i: (i, 0),
+                               memory_space=ms),
+        out_shape=jax.ShapeDtypeStruct((BK, inner), q2.dtype),
+        interpret=interpret,
+    )(q2, k3, v3, sel_big, bias_big)
+
+
 def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
                        bias_row: Optional[Array] = None) -> Array:
     """Ancestry-masked self-attention for one decode step.
@@ -91,6 +156,31 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
     """
     B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
+    if jax.default_backend() not in ("cpu",) and B % _BEAM_TB == 0:
+        # Pallas kernel: reads the time-major cache natively (no XLA layout
+        # transpose -> the cache dus stays in place) and keeps the softmax
+        # in VMEM. seq2seq_generate pads B to a multiple of tb in beam mode.
+        # The kernel scores each beam against ALL tb*J cache rows of its
+        # program block; the big mask is -inf off the own-batch diagonal
+        # and off the ancestry. Column order c = l*(tb*J) + t*J + j, t =
+        # batch position within the block. Layer-independent -> XLA CSEs
+        # the build across layers.
+        tb = _BEAM_TB
+        t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+        sel5 = jnp.where(
+            jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+            jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],  # (B,K,L,1,J)
+            NEG_INF)
+        sel_big = sel5.reshape(B * K, L * tb * J)
+        if bias_row is not None:
+            bias_big = jnp.repeat(
+                bias_row.astype(jnp.float32).reshape(H, L), tb * J, axis=1)
+        else:
+            bias_big = jnp.zeros((H, L * tb * J), jnp.float32)
+        out = _beam_self_attend_pallas(
+            q.reshape(B * K, H * Dh), k.reshape(L, B * J, H * Dh),
+            v.reshape(L, B * J, H * Dh), sel_big, bias_big, H, K, J)
+        return out.reshape(B * K, 1, H * Dh)
     qb = q.reshape(B, K, H, Dh)
     # pad the beam/query axis to the 8-sublane boundary — K=5 leaves XLA's
     # softmax fusions VPU-starved (measured ~40x off roofline)
@@ -130,6 +220,21 @@ def beam_cross_attend(q: Array, k: Array, v: Array,
     B, S, H, Dh = k.shape
     K = q.shape[0] // B
     qb = q.reshape(B, K, H, Dh)
+    if jax.default_backend() not in ("cpu",):
+        # beams are just K query rows over a shared memory: reuse the fused
+        # VMEM attention kernel (XLA's (B,H,K,S) softmax fusions for tiny K
+        # measured ~40 ms/layer, 100x off roofline — PERF.md)
+        from vlpet_tpu.ops.attention import fused_attention
+
+        m = jnp.zeros((B, 1, K, S), jnp.float32)
+        if mask is not None:
+            m = m + mask.astype(jnp.float32).reshape(B, 1, 1, S)
+        if bias is not None:
+            m = m + bias.astype(jnp.float32)
+        out = fused_attention(qb.reshape(B, K, H * Dh),
+                              k.reshape(B, S, H * Dh),
+                              v.reshape(B, S, H * Dh), m, H)
+        return out.reshape(B * K, 1, H * Dh)
     Kp = max(8, K)  # sublane-pad the beam/query axis (see beam_decode_attend)
     if Kp != K:
         qb = jnp.pad(qb, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))

@@ -180,17 +180,30 @@ class TaskDense(nn.Module):
     bias_init: Optional[Callable] = None
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x: Array, task_idx: int = 0) -> Array:
+    def setup(self):
         kinit = self.kernel_init or resolve_kernel_init(self.init_std)
         binit = self.bias_init or resolve_bias_init(self.init_std, self.in_dim)
         if self.shared:
-            kernel = self.param("kernel", kinit, (self.in_dim, self.out_dim))
-            bias = self.param("bias", binit, (self.out_dim,)) if self.use_bias else None
+            self.kernel = self.param("kernel", kinit,
+                                     (self.in_dim, self.out_dim))
+            self.bias = (self.param("bias", binit, (self.out_dim,))
+                         if self.use_bias else None)
         else:
-            kernel = self.param("kernel", kinit, (self.n_tasks, self.in_dim, self.out_dim))[task_idx]
-            bias = (self.param("bias", binit, (self.n_tasks, self.out_dim))[task_idx]
-                    if self.use_bias else None)
+            self.kernel = self.param("kernel", kinit,
+                                     (self.n_tasks, self.in_dim, self.out_dim))
+            self.bias = (self.param("bias", binit, (self.n_tasks, self.out_dim))
+                         if self.use_bias else None)
+
+    def kb(self, task_idx: int = 0):
+        """(kernel, bias) for the (statically-indexed) task — lets callers
+        fuse several projections into one GEMM (e.g. QKV, models/bart.py)."""
+        if self.shared:
+            return self.kernel, self.bias
+        return (self.kernel[task_idx],
+                self.bias[task_idx] if self.bias is not None else None)
+
+    def __call__(self, x: Array, task_idx: int = 0) -> Array:
+        kernel, bias = self.kb(task_idx)
         # flatten leading dims: a clean 2D (M, K)x(K, N) GEMM tiles far better
         # on the MXU than a batched (B, L, K) dot (measured ~5x on v5e)
         lead = x.shape[:-1]
