@@ -1,0 +1,79 @@
+"""A/B the flagship train step across config variants on the TPU.
+
+Usage: python scripts/bench_step_variants.py [variant ...]
+Variants: base | remat_dots | remat_full | fused_ce  (default: all)
+
+Same methodology as bench.py (async dispatch, one data-dependent host
+fetch, best-of-3 windows) so numbers are comparable.
+"""
+
+import dataclasses
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+VARIANTS = {
+    "base": {},
+    "remat_dots": {"remat": "dots"},
+    "remat_full": {"remat": "full"},
+    "fused_ce": {"use_fused_ce": True},
+}
+
+
+def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
+    from __graft_entry__ import _batch, _flagship_cfg
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+    from vlpet_tpu.train.freezing import split_params, trainable_mask
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    cfg, tasks = _flagship_cfg()
+    cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
+    model = VLBart(cfg)
+    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
+        vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+        labels=batch["target_ids"], ctx=PetContext())["params"])()
+    mask = trainable_mask(params, cfg.pet)
+    trainable, frozen = split_params(params, mask)
+    tx = build_optimizer(trainable, lr=1e-3, total_steps=1000)
+    state = TrainState.create(trainable, tx)
+    step = make_train_step(model, tx, tasks)
+
+    rng = jax.random.key(0, impl="rbg")
+    for _ in range(3):
+        rng, sub = jax.random.split(rng)
+        state, metrics = step(state, frozen, batch, sub, 0)
+    loss = float(jnp.asarray(metrics["loss"]))
+
+    n_steps = 10
+    best_dt = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        for _ in range(n_steps):
+            rng, sub = jax.random.split(rng)
+            state, metrics = step(state, frozen, batch, sub, 0)
+        float(jnp.asarray(metrics["loss"]))  # data-dependent sync
+        best_dt = min(best_dt, time.perf_counter() - t0)
+    ex_s = B * n_steps / best_dt
+    print(json.dumps({"variant": name, "ex_per_sec": round(ex_s, 1),
+                      "ms_per_step": round(1e3 * best_dt / n_steps, 2),
+                      "loss": round(loss, 4)}), flush=True)
+    return ex_s
+
+
+if __name__ == "__main__":
+    names = sys.argv[1:] or list(VARIANTS)
+    for n in names:
+        bench_variant(n, VARIANTS[n])

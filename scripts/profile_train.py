@@ -45,19 +45,26 @@ def build():
 
 
 def summarize(trace_dir, top=40):
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
+    try:
+        from xprof.convert import raw_to_tool_data as rtd
+    except ImportError:
+        from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
 
     xplanes = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"),
                         recursive=True)
     assert xplanes, f"no xplane under {trace_dir}"
+    data = None
     for tool in ("hlo_op_stats", "hlo_stats"):
         try:
             data, _ = rtd.xspace_to_tool_data(xplanes, tool, {})
-            break
         except Exception as e:
             err = e
+            data = None
+        if data is not None:
+            break
     else:
-        raise err
+        if data is None:
+            raise err
     import json
 
     if isinstance(data, bytes):

@@ -218,3 +218,52 @@ def test_beam_self_attend_pallas_matches_einsum():
     want = jnp.einsum("bhqjl,lbjhd->bqhd", p.reshape(B, H, K, J, L), vb)
     np.testing.assert_allclose(np.asarray(got).reshape(B, K, H, Dh),
                                np.asarray(want), rtol=2e-5, atol=2e-5)
+
+
+def test_activation_vjps_match_stock_gelu():
+    """ops/activations.py: forward bit-parity + gradient parity with
+    jax.nn.gelu (the custom_vjp only changes the residual schedule)."""
+    from vlpet_tpu.ops.activations import gelu_exact, gelu_new
+
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(64,)) * 3,
+                    jnp.float32)
+    for mine, ref in ((gelu_exact, lambda v: jax.nn.gelu(v, approximate=False)),
+                      (gelu_new, lambda v: jax.nn.gelu(v, approximate=True))):
+        np.testing.assert_array_equal(np.asarray(mine(x)), np.asarray(ref(x)))
+        g1 = jax.grad(lambda v: mine(v).sum())(x)
+        g2 = jax.grad(lambda v: ref(v).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-5, atol=1e-6)
+
+
+def test_linear_ce_matches_standard_chain():
+    """ops/ce.py single-materialization CE: value within bf16-logit
+    tolerance of the fp32 chain; dx gradient matches; ignored (-100)
+    positions contribute nothing."""
+    from vlpet_tpu.ops.ce import linear_ce
+
+    rng = np.random.default_rng(0)
+    N, d, V = 12, 16, 40
+    x = jnp.asarray(rng.normal(size=(N, d)), jnp.float32)
+    w = jnp.asarray(rng.normal(size=(V, d)) * 0.3, jnp.float32)
+    b = jnp.asarray(rng.normal(size=(V,)) * 0.1, jnp.float32)
+    labels = jnp.asarray(rng.integers(0, V, (N,)), jnp.int32)
+    labels = labels.at[3].set(-100)
+
+    def std(x):
+        logits = x @ w.T + b
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        valid = labels != -100
+        safe = jnp.where(valid, labels, 0)
+        nll = -jnp.take_along_axis(logp, safe[:, None], axis=-1)[:, 0]
+        return jnp.where(valid, nll, 0.0)
+
+    got = linear_ce(x, w, b, labels)
+    want = std(x)
+    assert float(got[3]) == 0.0
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-2, atol=2e-2)
+    g1 = jax.grad(lambda v: linear_ce(v, w, b, labels).sum())(x)
+    g2 = jax.grad(lambda v: std(v).sum())(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                               rtol=5e-2, atol=5e-3)

@@ -190,6 +190,53 @@ class TestCompacter:
             expected += pd * pd * pd  # own phm_rule
         assert n_params(params) == expected
 
+    def test_per_task_rule_and_sampler_sharing(self):
+        """Multi-task compacter: per-task W AND phm_rule by default; the
+        share_*_sampler / shared_phm_rule_over_tasks switches drop the task
+        dim (reference: src/adapters/adapter_controller.py:69-84)."""
+        import dataclasses
+
+        tasks = ("vqa", "caption")
+        spec = AdapterSpec(d_model=D, kind="compacter", reduction_factor=16,
+                           hypercomplex_division=4, factorized_phm=False,
+                           shared_phm_rule=False, tasks=tasks)
+        m = HyperComplexAdapter(spec)
+        x = jnp.ones((1, 2, D))
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        assert params["down_sampler"]["W"].shape[0] == len(tasks)
+        assert params["down_sampler"]["phm_rule"].shape == (2, 4, 4, 4)
+        # task routing actually selects distinct weights
+        o0 = m.apply({"params": params}, x, 0)
+        o1 = m.apply({"params": params}, x, 1)
+        assert not np.allclose(np.asarray(o0), np.asarray(o1))
+
+        spec2 = dataclasses.replace(spec, share_down_sampler=True,
+                                    share_up_sampler=True,
+                                    shared_phm_rule_over_tasks=True)
+        m2 = HyperComplexAdapter(spec2)
+        p2 = m2.init(jax.random.PRNGKey(0), x)["params"]
+        assert p2["down_sampler"]["W"].shape == (4, D // 4, (D // 16) // 4)
+        assert p2["down_sampler"]["phm_rule"].shape == (4, 4, 4)
+        # fully shared → identical across task routes
+        np.testing.assert_array_equal(
+            np.asarray(m2.apply({"params": p2}, x, 0)),
+            np.asarray(m2.apply({"params": p2}, x, 1)))
+
+    def test_lowrank_sampler_sharing(self):
+        import dataclasses
+
+        tasks = ("vqa", "caption")
+        spec = AdapterSpec(d_model=D, kind="lowrank", reduction_factor=16,
+                           low_rank_rank=1, tasks=tasks)
+        m = LowRankAdapter(spec)
+        x = jnp.ones((1, 2, D))
+        params = m.init(jax.random.PRNGKey(0), x)["params"]
+        assert params["down_sampler"]["W_left"].shape[0] == len(tasks)
+        spec2 = dataclasses.replace(spec, share_down_sampler=True)
+        p2 = LowRankAdapter(spec2).init(jax.random.PRNGKey(0), x)["params"]
+        assert p2["down_sampler"]["W_left"].shape == (D, 1)
+        assert p2["up_sampler"]["W_left"].shape[0] == len(tasks)
+
     def test_shared_phm_rule_via_context(self):
         spec = AdapterSpec(d_model=64, kind="compacter", reduction_factor=16,
                            hypercomplex_division=4, shared_phm_rule=True)

@@ -56,6 +56,25 @@ VARIANTS = {
                          "--reduction_factor", "8", "--shared_phm_rule", "False",
                          "--factorized_phm", "False",
                          "--unfreeze_layer_norms", "--use_single_adapter"],
+    # per-task compacter with cross-task sampler sharing + task-shared rule
+    # (reference: adapter_controller.py:69-84 share_*_sampler /
+    # shared_phm_rule_over_tasks — sharing beyond use_single_adapter)
+    "compacter_shared_samplers": [
+        "--use_compacter", "--hypercomplex_division", "4",
+        "--reduction_factor", "8", "--shared_phm_rule", "False",
+        "--factorized_phm", "False", "--share_down_sampler",
+        "--share_up_sampler", "--shared_phm_rule_over_tasks",
+        "--unfreeze_layer_norms"],
+    # per-task compacter, no sharing at all: each task owns W AND phm_rule
+    "compacter_per_task": [
+        "--use_compacter", "--hypercomplex_division", "4",
+        "--reduction_factor", "8", "--shared_phm_rule", "False",
+        "--unfreeze_layer_norms"],
+    # low-rank adapter with cross-task sampler sharing
+    "lradapter_shared_samplers": [
+        "--use_lradapter", "--reduction_factor", "8",
+        "--low_rank_rank", "1", "--share_down_sampler",
+        "--share_up_sampler", "--unfreeze_layer_norms"],
     # low-rank adapter baseline (reference: LRAdapterConfig)
     "single_lradapter": ["--use_lradapter", "--reduction_factor", "8",
                          "--low_rank_rank", "1", "--unfreeze_layer_norms",

@@ -483,6 +483,22 @@ class VLModelConfig:
     # Off by default: wins forward-only (5.7 vs 9.7 ms at flagship shapes)
     # but the backward's logits recompute loses the fwd+bwd total (PERF.md)
     use_fused_ce: bool = False
+    # per-layer rematerialization policy for training ('none' | 'dots' |
+    # 'full'): 'dots' saves only matmul outputs across each transformer
+    # layer and recomputes the elementwise chains in the backward — trades
+    # a little VPU recompute for HBM saved-activation traffic (the step is
+    # HBM-bound, PERF.md). 'full' saves only layer boundaries.
+    # MEMORY feature, not a speed one at flagship shapes (measured ~17-26%
+    # slower: the Pallas attention forward gets recomputed in the backward).
+    remat: str = "none"
+    # lax.scan over the (structurally identical) transformer layers: params
+    # get a leading layer axis and XLA traces/compiles ONE layer body
+    # instead of L inlined copies — cuts flagship cold-compile from minutes
+    # to seconds. Training/eval-forward only; generation uses a non-scan
+    # twin model with unstacked params (models/scan_utils.py). Unsupported
+    # with hyperformer / attn-prefix / per-layer prefix KVs (falls back to
+    # the Python loop).
+    scan_layers: bool = False
 
     @property
     def is_t5(self) -> bool:

@@ -68,6 +68,17 @@ Array = jax.Array
 NEG_INF = -1e9  # large negative for additive masks (finfo.min overflows in bf16 sums)
 
 
+def remat_policy(kind: str):
+    """jax.checkpoint policy for cfg.remat: 'dots' saves matmul outputs and
+    recomputes the elementwise chains in the backward (HBM-traffic trade,
+    PERF.md); 'full' saves only layer boundaries."""
+    if kind == "dots":
+        return jax.checkpoint_policies.dots_saveable
+    if kind == "full":
+        return None
+    raise ValueError(f"unknown remat policy: {kind!r}")
+
+
 def expand_mask(mask: Array, tgt_len: int, dtype) -> Array:
     """[B, S] → additive [B, 1, T, S] (reference: modeling_bart.py:109-120)."""
     B, S = mask.shape
@@ -863,12 +874,29 @@ class JointEncoder(nn.Module):
                  attn_mask], axis=-1)
 
         hypernet = self._stack_hypernet()
+        layer_cls = BartEncoderLayer
+        if c.remat != "none":
+            # deterministic (positional idx 5, module at 0) is static
+            layer_cls = nn.remat(BartEncoderLayer, policy=remat_policy(c.remat),
+                                 static_argnums=(5,))
+        if c.scan_layers and hypernet is None and prefix_kvs is None:
+            # one traced/compiled layer body; params stacked (L, ...) under
+            # 'layers'. attn_mask/ctx/deterministic are loop constants.
+            def body(layer, carry, _):
+                return layer(carry, attn_mask, ctx.for_layer(None), None,
+                             deterministic), None
+
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           length=b.encoder_layers)
+            h, _ = scan(layer_cls(c, 0, name="layers"), h, None)
+            return h, joint_mask
         for i in range(b.encoder_layers):
             block = hypernet(task_embedding, i) if hypernet is not None else None
-            h = BartEncoderLayer(c, i, name=f"layers_{i}")(
+            h = layer_cls(c, i, name=f"layers_{i}")(
                 h, attn_mask, ctx.for_layer(block),
-                prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
-                deterministic=deterministic)
+                prefix_kvs[i] if prefix_kvs is not None else None,
+                deterministic)
         return h, joint_mask
 
 
@@ -890,8 +918,22 @@ class BartDecoder(nn.Module):
         self.layernorm_embedding = nn.LayerNorm(dtype=self._dtype,
                                                 name="layernorm_embedding")
         self.emb_dropout = nn.Dropout(rate=b.dropout)
-        self.layers = [BartDecoderLayer(c, i, name=f"layers_{i}")
-                       for i in range(b.decoder_layers)]
+        layer_cls = BartDecoderLayer
+        if c.remat != "none":
+            # deterministic (positional idx 11, module at 0) is static
+            layer_cls = nn.remat(BartDecoderLayer, policy=remat_policy(c.remat),
+                                 static_argnums=(11,))
+        self.scan_ok = (c.scan_layers and not p.use_hyperformer
+                        and not (p.use_attn_prefix and p.decoder_prompt_len > 0))
+        if self.scan_ok:
+            # single scanned layer; training/teacher-forcing path only —
+            # decode (cache/cross_kvs) runs on a non-scan twin model with
+            # unstacked params (models/scan_utils.py)
+            self.scan_layer = layer_cls(c, 0, name="layers")
+            self.layers = []
+        else:
+            self.layers = [layer_cls(c, i, name=f"layers_{i}")
+                           for i in range(b.decoder_layers)]
         if p.use_attn_prefix and p.decoder_prompt_len > 0:
             from vlpet_tpu.pet.prefix import AttnPrefixController
 
@@ -1014,21 +1056,42 @@ class BartDecoder(nn.Module):
                 [jnp.zeros(self_mask.shape[:3] + (P,), self_mask.dtype),
                  self_mask], axis=-1)
 
+        if self.scan_ok:
+            assert cache is None and decode_pos is None and prefix_kvs is None, \
+                "scan_layers decoder supports the teacher-forcing path only; " \
+                "decode via a non-scan twin model (models/scan_utils.py)"
+
+            def body(layer, carry, _):
+                out, _lc = layer(carry, ctx.for_layer(None),
+                                 encoder_hidden_states, self_mask, cross_mask,
+                                 None, None, None, None, None, deterministic)
+                return out, None
+
+            scan = nn.scan(body, variable_axes={"params": 0},
+                           split_rngs={"params": True, "dropout": True},
+                           length=b.decoder_layers)
+            h, _ = scan(self.scan_layer, h, None)
+            if P_in:
+                h = h[:, P_in:]
+            return h, None
+
         new_cache = []
         for i, layer in enumerate(self.layers):
             block = (self.adapter_layers_hyper_net(task_embedding, i)
                      if self.adapter_layers_hyper_net is not None else None)
+            # positional form: nn.remat's static_argnums (deterministic)
+            # indexes positional args only
             h, layer_cache = layer(
                 h, ctx.for_layer(block),
-                encoder_hidden_states=encoder_hidden_states,
-                attention_mask=self_mask,
-                encoder_attention_mask=cross_mask,
-                cross_kv=cross_kvs[i] if cross_kvs is not None else None,
-                cache=cache[i] if cache is not None else None,
-                decode_pos=decode_pos,
-                prefix_kv=prefix_kvs[i] if prefix_kvs is not None else None,
-                beam_sel=beam_sel,
-                deterministic=deterministic)
+                encoder_hidden_states,
+                self_mask,
+                cross_mask,
+                cross_kvs[i] if cross_kvs is not None else None,
+                cache[i] if cache is not None else None,
+                decode_pos,
+                prefix_kvs[i] if prefix_kvs is not None else None,
+                beam_sel,
+                deterministic)
             new_cache.append(layer_cache)
         if P_in:
             h = h[:, P_in:]

@@ -792,30 +792,40 @@ class VLT5(nn.Module):
             from vlpet_tpu.ops.fused_ce import pick_row_tile
 
             p = c.pet
+            head_frozen = (b.tie_word_embeddings
+                           and not p.unfreeze_lm_head
+                           and not p.unfreeze_language_model)
             fused_ok = (getattr(c, "use_fused_ce", False)
                         and jax.default_backend() not in ("cpu",)
-                        and b.tie_word_embeddings
-                        and not p.unfreeze_lm_head
-                        and not p.unfreeze_language_model
+                        and head_frozen
                         and pick_row_tile(labels.size) is not None)
+            B, T = labels.shape
             if fused_ok:
                 # fused linear+CE straight from dec_out (ops/fused_ce.py);
                 # the tied-rescale rides on the activations
                 from vlpet_tpu.ops.fused_ce import fused_linear_ce
 
-                B, T = labels.shape
                 x2 = (dec_out * (b.d_model ** -0.5)).reshape(B * T, -1)
                 zero_b = jnp.zeros((b.vocab_size,), jnp.float32)
                 per_tok = fused_linear_ce(x2, self.model.shared, zero_b,
                                           labels.reshape(-1)).reshape(B, T)
-                if reduce_loss:
-                    out["loss"] = per_tok.sum() / jnp.maximum(
-                        (labels != -100).sum(), 1)
-                else:
-                    out["loss"] = per_tok
+            elif head_frozen and dec_out.dtype == jnp.bfloat16:
+                # one bf16 logits materialization (ops/ce.py; see VLBart._ce)
+                from vlpet_tpu.ops.ce import linear_ce
+
+                x2 = (dec_out * (b.d_model ** -0.5)).reshape(B * T, -1)
+                zero_b = jnp.zeros((b.vocab_size,), jnp.float32)
+                per_tok = linear_ce(x2, self.model.shared, zero_b,
+                                    labels.reshape(-1)).reshape(B, T)
             else:
                 out["loss"] = cross_entropy_with_ignore(logits, labels,
                                                         reduce=reduce_loss)
+                return out
+            if reduce_loss:
+                out["loss"] = per_tok.sum() / jnp.maximum(
+                    (labels != -100).sum(), 1)
+            else:
+                out["loss"] = per_tok
         return out
 
     # generation-facing methods (same staged API as VLBart)

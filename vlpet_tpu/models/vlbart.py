@@ -201,21 +201,33 @@ class VLBart(nn.Module):
         from vlpet_tpu.ops.fused_ce import pick_row_tile
 
         p = self.cfg.pet
+        head_frozen = (self.output_adapter is None
+                       and not p.unfreeze_lm_head
+                       and not p.unfreeze_language_model)
         fused_ok = (getattr(self.cfg, "use_fused_ce", False)
                     and jax.default_backend() not in ("cpu",)
-                    and self.output_adapter is None
-                    and not p.unfreeze_lm_head
-                    and not p.unfreeze_language_model
+                    and head_frozen
                     and pick_row_tile(labels.size) is not None)
-        if not fused_ok:
+        B, T = labels.shape
+        if fused_ok:
+            from vlpet_tpu.ops.fused_ce import fused_linear_ce
+
+            per_tok = fused_linear_ce(
+                dec_out.reshape(B * T, -1), self.model.shared,
+                self.final_logits_bias[0], labels.reshape(-1)).reshape(B, T)
+        elif head_frozen and dec_out.dtype == jnp.bfloat16:
+            # bf16-compute path: one bf16 logits materialization instead of
+            # three fp32 ones (ops/ce.py; AMP-equivalent numerics). The
+            # fp32 `logits` passed in are then dead code under jit in the
+            # train step (only the loss is consumed) and never materialize.
+            from vlpet_tpu.ops.ce import linear_ce
+
+            per_tok = linear_ce(
+                dec_out.reshape(B * T, -1), self.model.shared,
+                self.final_logits_bias[0], labels.reshape(-1)).reshape(B, T)
+        else:
             return cross_entropy_with_ignore(logits, labels,
                                              reduce=reduce_loss)
-        from vlpet_tpu.ops.fused_ce import fused_linear_ce
-
-        B, T = labels.shape
-        per_tok = fused_linear_ce(
-            dec_out.reshape(B * T, -1), self.model.shared,
-            self.final_logits_bias[0], labels.reshape(-1)).reshape(B, T)
         if reduce_loss:
             valid = (labels != -100).sum()
             return per_tok.sum() / jnp.maximum(valid, 1)

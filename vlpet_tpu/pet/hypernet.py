@@ -19,6 +19,7 @@ from typing import Any, Optional
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from vlpet_tpu.config import HyperformerSpec
 from vlpet_tpu.pet.modules import get_activation, normal_init
@@ -29,19 +30,19 @@ Array = jax.Array
 # Typed containers for generated weights (reference: adapter_outputs.py:7-37)
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class SamplerWeights:
     weight: Array  # (out, in) — F.linear convention of the reference
     bias: Array
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class LayerNormWeights:
     weight: Array
     bias: Array
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class AdapterWeights:
     up: SamplerWeights
     down: SamplerWeights
@@ -49,7 +50,7 @@ class AdapterWeights:
     post_norm: Optional[LayerNormWeights] = None
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class BlockAdapterWeights:
     feed_forward: AdapterWeights
     self_attention: AdapterWeights

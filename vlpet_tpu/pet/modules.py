@@ -28,6 +28,7 @@ from typing import Any, Callable, Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+from flax import struct
 
 from vlpet_tpu.config import AdapterSpec, LoraSpec
 
@@ -48,9 +49,13 @@ def get_activation(name: str) -> Callable[[Array], Array]:
     """
     name = name.lower()
     if name == "gelu_new":
-        return lambda x: jax.nn.gelu(x, approximate=True)
+        from vlpet_tpu.ops.activations import gelu_new
+
+        return gelu_new
     if name == "gelu":
-        return lambda x: jax.nn.gelu(x, approximate=False)
+        from vlpet_tpu.ops.activations import gelu_exact
+
+        return gelu_exact
     if name == "relu":
         return jax.nn.relu
     if name in ("swish", "silu"):
@@ -138,7 +143,7 @@ def resolve_bias_init(init_std: Optional[float], fan_in: int):
 # ---------------------------------------------------------------------------
 
 
-@dataclasses.dataclass
+@struct.dataclass
 class PetContext:
     """Per-call PET state threaded through the backbone layers.
 
@@ -147,10 +152,14 @@ class PetContext:
     model-shared Compacter rule (reference: src/modeling_bart.py:1479-1520);
     ``block_adapters`` carries hyperformer-generated weights for the current
     layer (reference: src/my_transformers/modeling_bart.py:949-951).
+
+    Registered as a pytree (static task fields as aux data, arrays as
+    children) so it flows through lifted transforms — nn.remat'd/nn.scan'd
+    layers take it as a regular argument.
     """
 
-    task: str = "default"
-    task_idx: int = 0
+    task: str = struct.field(pytree_node=False, default="default")
+    task_idx: int = struct.field(pytree_node=False, default=0)
     phm_rule: Optional[Array] = None  # (phm_dim, phm_dim, phm_dim)
     block_adapters: Any = None
 
@@ -290,16 +299,24 @@ class PHMDense(nn.Module):
                 W = W[task_idx]
             W = W.astype(self.dtype)
 
-        # phm_rule: shared (passed in) or owned
+        # phm_rule: shared (passed in) or owned. Owned rules are per-task
+        # unless shared_phm_rule_over_tasks aliases task 0's rule across
+        # tasks (reference: src/adapters/adapter_controller.py:79-84)
         if phm_rule is None:
+            rule_shared = self.shared or s.shared_phm_rule_over_tasks
+            rlead = () if rule_shared else (self.n_tasks,)
             c_init = (normal_init(s.phm_init_range) if s.phm_c_init == "normal"
                       else nn.initializers.uniform(scale=0.02))
             if s.factorized_phm_rule:
-                rl = self.param("phm_rule_left", c_init, (pd, pd, 1))
-                rr = self.param("phm_rule_right", c_init, (pd, 1, pd))
+                rl = self.param("phm_rule_left", c_init, rlead + (pd, pd, 1))
+                rr = self.param("phm_rule_right", c_init, rlead + (pd, 1, pd))
+                if not rule_shared:
+                    rl, rr = rl[task_idx], rr[task_idx]
                 phm_rule = jnp.einsum("rio,roj->rij", rl, rr)
             else:
-                phm_rule = self.param("phm_rule", c_init, (pd, pd, pd))
+                phm_rule = self.param("phm_rule", c_init, rlead + (pd, pd, pd))
+                if not rule_shared:
+                    phm_rule = phm_rule[task_idx]
         phm_rule = phm_rule.astype(self.dtype)
 
         xr = x.astype(self.dtype).reshape(x.shape[:-1] + (pd, in_per))
@@ -358,14 +375,17 @@ class LowRankAdapter(nn.Module):
         n_tasks = len(s.tasks)
         # NOTE: reference LowRankAdapter always uses input_dim // reduction_factor
         down_dim = s.d_model // s.reduction_factor
-        shared = s.use_single_adapter or n_tasks == 1
-        z = LowRankDense(s.d_model, down_dim, s.low_rank_rank, n_tasks, shared,
+        # sampler sharing applies to every adapter kind
+        # (reference: src/adapters/adapter_controller.py:69-77)
+        down_shared = s.use_single_adapter or s.share_down_sampler or n_tasks == 1
+        up_shared = s.use_single_adapter or s.share_up_sampler or n_tasks == 1
+        z = LowRankDense(s.d_model, down_dim, s.low_rank_rank, n_tasks, down_shared,
                          w_init=s.low_rank_w_init, dtype=self.dtype,
                          name="down_sampler")(x, task_idx)
         z = get_activation(s.non_linearity)(z)
         if s.track_z:
             self.sow("intermediates", "z", z)
-        return LowRankDense(down_dim, s.d_model, s.low_rank_rank, n_tasks, shared,
+        return LowRankDense(down_dim, s.d_model, s.low_rank_rank, n_tasks, up_shared,
                             w_init=s.low_rank_w_init, dtype=self.dtype,
                             name="up_sampler")(z, task_idx)
 
@@ -382,14 +402,17 @@ class HyperComplexAdapter(nn.Module):
                  phm_rule: Optional[Array] = None) -> Array:
         s = self.spec
         n_tasks = len(s.tasks)
-        shared = s.use_single_adapter or n_tasks == 1
+        # sampler sharing applies to every adapter kind
+        # (reference: src/adapters/adapter_controller.py:69-77)
+        down_shared = s.use_single_adapter or s.share_down_sampler or n_tasks == 1
+        up_shared = s.use_single_adapter or s.share_up_sampler or n_tasks == 1
         rule = phm_rule if s.shared_phm_rule else None
-        z = PHMDense(s.d_model, s.down_dim, s, n_tasks, shared, dtype=self.dtype,
+        z = PHMDense(s.d_model, s.down_dim, s, n_tasks, down_shared, dtype=self.dtype,
                      name="down_sampler")(x, task_idx, phm_rule=rule)
         z = get_activation(s.non_linearity)(z)
         if s.track_z:
             self.sow("intermediates", "z", z)
-        return PHMDense(s.down_dim, s.d_model, s, n_tasks, shared, dtype=self.dtype,
+        return PHMDense(s.down_dim, s.d_model, s, n_tasks, up_shared, dtype=self.dtype,
                         name="up_sampler")(z, task_idx, phm_rule=rule)
 
 

@@ -136,7 +136,15 @@ class Trainer:
 
             sd = load_torch_state_dict(backbone_ckpt)
             conv = t5_hf_to_flax if cfg.is_t5 else bart_hf_to_flax
-            params, report = conv(sd, params)
+            if getattr(cfg, "scan_layers", False):
+                # the importer speaks per-layer naming; round-trip through it
+                from vlpet_tpu.models.scan_utils import (stack_layer_params,
+                                                         unstack_layer_params)
+
+                params, report = conv(sd, unstack_layer_params(params))
+                params = stack_layer_params(params)
+            else:
+                params, report = conv(sd, params)
             if verbose:
                 print(f"imported {len(report['filled'])} tensors from "
                       f"{backbone_ckpt}; {len(report['skipped'])} skipped")
@@ -210,15 +218,22 @@ class Trainer:
         self._gen_cache: Dict = {}
         self._nlvr_step = None
         # generation-only model variant: the fused Pallas attention wins
-        # forward-only (PERF.md) — enable it for inference on TPU
+        # forward-only (PERF.md) — enable it for inference on TPU; a
+        # scan_layers train model decodes on a non-scan twin (stacked params
+        # are unstacked inside the jitted gen fn, models/scan_utils.py)
         if self.raw:
             self.gen_model = self.model
-        elif (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
-                and not getattr(cfg, "use_pallas_attention", False)):
-            gen_cfg = dataclasses.replace(cfg, use_pallas_attention=True)
-            self.gen_model = VLBart(gen_cfg)
         else:
-            self.gen_model = self.model
+            gen_cfg = cfg
+            if getattr(cfg, "scan_layers", False):
+                gen_cfg = dataclasses.replace(gen_cfg, scan_layers=False)
+            if (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
+                    and not getattr(cfg, "use_pallas_attention", False)):
+                gen_cfg = dataclasses.replace(gen_cfg, use_pallas_attention=True)
+            if gen_cfg is cfg:
+                self.gen_model = self.model
+            else:
+                self.gen_model = VLT5(gen_cfg) if cfg.is_t5 else VLBart(gen_cfg)
 
     # ------------------------------------------------------------------
     @property
@@ -309,6 +324,10 @@ class Trainer:
 
             @jax.jit
             def gen(params, batch):
+                if getattr(self.cfg, "scan_layers", False):
+                    from vlpet_tpu.models.scan_utils import unstack_layer_params
+
+                    params = unstack_layer_params(params)
                 variables = {"params": params}
                 if self.raw and self.batch_stats is not None:
                     variables["batch_stats"] = self.batch_stats
