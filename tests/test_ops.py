@@ -267,3 +267,36 @@ def test_linear_ce_matches_standard_chain():
     g2 = jax.grad(lambda v: std(v).sum())(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                rtol=5e-2, atol=5e-3)
+
+
+def test_fused_ffn_matches_reference():
+    """ops/ffn.py Pallas FFN (interpret mode): forward + dx parity with the
+    plain fc1→act→fc2 chain; padded row tails handled."""
+    import vlpet_tpu.ops.ffn as F
+
+    F._INTERPRET = True
+    try:
+        rng = np.random.default_rng(0)
+        N, D, Fd = 19, 16, 32  # N deliberately not a multiple of the tile
+        x = jnp.asarray(rng.normal(size=(N, D)) * 0.5, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(D, Fd)) * 0.3, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(Fd,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(Fd, D)) * 0.3, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+        for act_name, act_fn in (
+                ("gelu", lambda v: jax.nn.gelu(v, approximate=False)),
+                ("gelu_new", lambda v: jax.nn.gelu(v, approximate=True)),
+                ("relu", jax.nn.relu)):
+            def ref(x):
+                return act_fn(x @ w1 + b1) @ w2 + b2
+
+            got = F.fused_ffn(x, w1, b1, w2, b2, act_name)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)),
+                                       rtol=2e-5, atol=2e-5)
+            g1 = jax.grad(lambda v: F.fused_ffn(v, w1, b1, w2, b2,
+                                                act_name).sum())(x)
+            g2 = jax.grad(lambda v: ref(v).sum())(x)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        F._INTERPRET = False

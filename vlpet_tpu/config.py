@@ -499,6 +499,10 @@ class VLModelConfig:
     # with hyperformer / attn-prefix / per-layer prefix KVs (falls back to
     # the Python loop).
     scan_layers: bool = False
+    # Pallas fused fc1→act→fc2 (ops/ffn.py): weights VMEM-resident, zero
+    # saved activations (backward recomputes fc1). Auto-guarded to TPU +
+    # bfloat16 + frozen language model + activation_dropout==0.
+    use_fused_ffn: bool = True
 
     @property
     def is_t5(self) -> bool:

@@ -56,6 +56,7 @@ from vlpet_tpu.pet.modules import (
     get_activation,
     normal_init,
 )
+from vlpet_tpu.ops.ffn import ffn_supported, fused_ffn
 from vlpet_tpu.pet.prompts import PromptController
 from vlpet_tpu.models.visual import (
     LowRankVisualEmbedding,
@@ -501,11 +502,22 @@ class BartEncoderLayer(nn.Module):
 
         # --- feed-forward sublayer -------------------------------------------
         residual = hidden_states
-        h = TaskDense(d, b.encoder_ffn_dim, init_std=init_std, dtype=dt,
-                      name="fc1")(hidden_states)
-        h = act(h)
-        h = act_dropout(h, deterministic=deterministic)
-        h = TaskDense(b.encoder_ffn_dim, d, init_std=init_std, dtype=dt, name="fc2")(h)
+        fc1 = TaskDense(d, b.encoder_ffn_dim, init_std=init_std, dtype=dt,
+                        name="fc1")
+        fc2 = TaskDense(b.encoder_ffn_dim, d, init_std=init_std, dtype=dt,
+                        name="fc2")
+        if c.use_fused_ffn and ffn_supported(c, b.activation_function):
+            # Pallas fused fc1→act→fc2: weights stay in VMEM, the (·, ffn)
+            # hidden never touches HBM, backward recomputes fc1 (ops/ffn.py)
+            k1, b1 = fc1.kb()
+            k2, b2 = fc2.kb()
+            h = fused_ffn(hidden_states.reshape(-1, d), k1, b1, k2, b2,
+                          b.activation_function).reshape(hidden_states.shape)
+        else:
+            h = fc1(hidden_states)
+            h = act(h)
+            h = act_dropout(h, deterministic=deterministic)
+            h = fc2(h)
         h = hooks(h, residual, "ff", block.feed_forward if block else None)
         h = dropout(h, deterministic=deterministic)
         hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
@@ -679,12 +691,20 @@ class BartDecoderLayer(nn.Module):
 
         # --- feed-forward ----------------------------------------------------------
         residual = hidden_states
-        h = act(self.fc1(hidden_states))
-        if self.decoder_ff_ia3_mod is not None:
-            g = self.decoder_ff_ia3_mod()
-            h = h + h * g.astype(h.dtype) if p.use_decoder_ff_ia3_add else h * g.astype(h.dtype)
-        h = self.act_dropout(h, deterministic=deterministic)
-        h = self.fc2(h)
+        if (self.decoder_ff_ia3_mod is None and c.use_fused_ffn
+                and ffn_supported(c, b.activation_function)):
+            k1, b1 = self.fc1.kb()
+            k2, b2 = self.fc2.kb()
+            d = b.d_model
+            h = fused_ffn(hidden_states.reshape(-1, d), k1, b1, k2, b2,
+                          b.activation_function).reshape(hidden_states.shape)
+        else:
+            h = act(self.fc1(hidden_states))
+            if self.decoder_ff_ia3_mod is not None:
+                g = self.decoder_ff_ia3_mod()
+                h = h + h * g.astype(h.dtype) if p.use_decoder_ff_ia3_add else h * g.astype(h.dtype)
+            h = self.act_dropout(h, deterministic=deterministic)
+            h = self.fc2(h)
         if self.ff_adapter is not None:
             h = self.ff_adapter(h, ctx)
         elif self.decoder_ff_adapter is not None:

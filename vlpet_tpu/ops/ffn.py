@@ -1,0 +1,189 @@
+"""Fused transformer FFN (fc1 → act → fc2) as a Pallas TPU kernel, fwd + bwd.
+
+Motivation (scripts/profile_train.py at flagship shapes): XLA runs the fc2
+GEMMs at ~74 TF/s (38% of v5e peak) because the gelu chain is fused into the
+GEMM as a VPU prologue/epilogue, and the (28000, 3072) hidden activation
+round-trips HBM between fc1 and fc2 — 22 ms/step across the 6 encoder
+layers. This kernel keeps both weight matrices and the hidden tile resident
+in VMEM, computes gelu in fp32 in-register, and saves NOTHING for the
+backward (the bwd kernel recomputes fc1 — one extra MXU pass beats reading
+a 172 MB residual back from HBM, and beats XLA's four-tensor save set that
+the save-light gelu already shrank).
+
+Scope / guards (enforced by `ffn_supported`):
+* weights are FROZEN (every published PET recipe): the custom_vjp returns
+  zero cotangents for w/b — callers must not differentiate through them.
+* activation_dropout == 0 (BART default; reference recipes never set it).
+* activation ∈ {gelu (erf), gelu_new (tanh), relu}.
+
+Layout: x (N, D) bf16; w1 (D, F), b1 (F,), w2 (F, D), b2 (D,) — any float
+dtype (cast to bf16 for the MXU, fp32 accumulation via preferred_element_type).
+
+Reference behavior: my_transformers/modeling_bart.py:1122-1388 fc1/fc2.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+_SQRT_HALF = math.sqrt(0.5)
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+_SQRT_2_OVER_PI = math.sqrt(2.0 / math.pi)
+
+ACTS = ("gelu", "gelu_new", "relu")
+
+# tests monkeypatch this to run the kernels in interpreter mode on CPU
+_INTERPRET = False
+
+
+def _erf(x):
+    """Abramowitz–Stegun 7.1.26 rational erf (max abs err 1.5e-7 — below
+    bf16 resolution); Mosaic lowers neither lax.erf nor lax.erfc."""
+    a1, a2, a3, a4, a5 = (0.254829592, -0.284496736, 1.421413741,
+                          -1.453152027, 1.061405429)
+    p = 0.3275911
+    s = jnp.sign(x)
+    ax = jnp.abs(x)
+    t = 1.0 / (1.0 + p * ax)
+    poly = t * (a1 + t * (a2 + t * (a3 + t * (a4 + t * a5))))
+    return s * (1.0 - poly * jnp.exp(-ax * ax))
+
+
+def _act(h, kind: str):
+    if kind == "gelu":
+        return 0.5 * h * (1.0 + _erf(h * _SQRT_HALF))
+    if kind == "gelu_new":
+        t = jnp.tanh(_SQRT_2_OVER_PI * (h + 0.044715 * h * h * h))
+        return 0.5 * h * (1.0 + t)
+    return jnp.maximum(h, 0.0)
+
+
+def _act_grad(h, kind: str):
+    if kind == "gelu":
+        cdf = 0.5 * (1.0 + _erf(h * _SQRT_HALF))
+        pdf = _INV_SQRT_2PI * jnp.exp(-0.5 * h * h)
+        return cdf + h * pdf
+    if kind == "gelu_new":
+        inner = _SQRT_2_OVER_PI * (h + 0.044715 * h * h * h)
+        t = jnp.tanh(inner)
+        dinner = _SQRT_2_OVER_PI * (1.0 + 3.0 * 0.044715 * h * h)
+        return 0.5 * (1.0 + t) + 0.5 * h * (1.0 - t * t) * dinner
+    return (h > 0.0).astype(h.dtype)
+
+
+def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0) -> int:
+    """Largest row tile whose VMEM residency (weights + x/h/y tiles) fits."""
+    weights = 2 * (d * f + f * d)  # bf16
+    for tb in (512, 384, 256, 128, 64, 32, 16, 8):
+        tile = tb * (d * 2 + f * 4 + f * 2 + d * 4)  # x bf16, h f32+bf16, y f32
+        if weights + tile <= budget_mb * 1024 * 1024:
+            return tb
+    return 8
+
+
+def _fwd_kernel(act: str, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+    h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = _act(h + b1_ref[...].astype(jnp.float32), act).astype(x_ref.dtype)
+    y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y_ref[...] = (y + b2_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
+
+
+def _bwd_kernel(act: str, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref):
+    # recompute fc1 (one extra MXU pass — no residual reads)
+    h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    h = h + b1_ref[...].astype(jnp.float32)
+    dh = jax.lax.dot_general(dy_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    ds = (dh * _act_grad(h, act)).astype(x_ref.dtype)
+    dx = jax.lax.dot_general(ds, w1_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+def _pad_rows(x: Array, tb: int):
+    n = x.shape[0]
+    rem = n % tb
+    if rem == 0:
+        return x, n
+    pad = tb - rem
+    return jnp.pad(x, ((0, pad), (0, 0))), n
+
+
+def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim):
+    """row_inputs are (N, ·) tensors sliced per grid row-tile; full_inputs
+    (weights/biases) live whole in VMEM across the sequential grid."""
+    n0 = row_inputs[0].shape[0]
+    d = row_inputs[0].shape[1]
+    tb = _row_tile(n0, d, d_hidden)
+    padded = []
+    for t in row_inputs:
+        t, _ = _pad_rows(t, tb)
+        padded.append(t)
+    N = padded[0].shape[0]
+    ms = pl.ANY if _INTERPRET else pltpu.VMEM
+    row_specs = [pl.BlockSpec((tb, t.shape[1]), lambda i: (i, 0),
+                              memory_space=ms) for t in padded]
+    out_spec = pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=ms)
+    full_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda i: (0,) * nd)(t.ndim),
+                               memory_space=ms) for t in full_inputs]
+    y = pl.pallas_call(
+        functools.partial(kernel, act),
+        grid=(N // tb,),
+        in_specs=row_specs + full_specs,
+        out_specs=out_spec,
+        out_shape=jax.ShapeDtypeStruct((N, out_dim), row_inputs[0].dtype),
+        interpret=_INTERPRET,
+    )(*padded, *full_inputs)
+    return y[:n0] if N != n0 else y
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+def fused_ffn(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
+              act: str = "gelu") -> Array:
+    """y = act(x @ w1 + b1) @ w2 + b2 with frozen w/b (zero cotangents).
+
+    x (N, D) bf16; w1 (D, F); b1 (F,); w2 (F, D); b2 (D,)."""
+    w1 = w1.astype(x.dtype)
+    w2 = w2.astype(x.dtype)
+    return _run(_fwd_kernel, act, [x], [w1, b1, w2, b2],
+                w1.shape[1], w2.shape[1])
+
+
+def _fwd(x, w1, b1, w2, b2, act):
+    y = fused_ffn(x, w1, b1, w2, b2, act)
+    return y, (x, w1, b1, w2, b2)
+
+
+def _bwd(act, res, dy):
+    x, w1, b1, w2, b2 = res
+    dx = _run(_bwd_kernel, act, [x, dy.astype(x.dtype)],
+              [w1.astype(x.dtype), b1, w2.astype(x.dtype)],
+              w1.shape[1], w1.shape[0])
+    return (dx, jnp.zeros_like(w1), jnp.zeros_like(b1), jnp.zeros_like(w2),
+            jnp.zeros_like(b2))
+
+
+fused_ffn.defvjp(_fwd, _bwd)
+
+
+def ffn_supported(cfg, act: str) -> bool:
+    """Kernel applicability: TPU backend, bf16 compute, zero activation
+    dropout, supported activation, FROZEN language model (the custom_vjp
+    returns zero w/b cotangents)."""
+    p = cfg.pet
+    return (jax.default_backend() not in ("cpu",)
+            and cfg.dtype == "bfloat16"
+            and act in ACTS
+            and cfg.backbone.activation_dropout == 0.0
+            and not p.unfreeze_language_model)
