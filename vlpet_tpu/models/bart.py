@@ -523,7 +523,9 @@ class BartEncoderLayer(nn.Module):
         hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
 
         if dt != jnp.float32:
-            clamp = jnp.finfo(dt).max - 1000
+            # float() keeps the bound weakly-typed: jnp.finfo's numpy scalar
+            # would promote the whole residual stream to fp32
+            clamp = float(jnp.finfo(dt).max - 1000)
             hidden_states = jnp.clip(hidden_states, -clamp, clamp)
         return hidden_states
 

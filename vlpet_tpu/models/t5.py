@@ -49,6 +49,7 @@ from vlpet_tpu.pet.modules import (
     MultiheadDownAdapter,
     PetContext,
     get_activation,
+    make_shared_phm_W,
     normal_init,
 )
 from vlpet_tpu.pet.prompts import PromptController
@@ -444,7 +445,9 @@ class T5Block(nn.Module):
                 y = self.adapter_hypernet(y, block.feed_forward)
         hidden_states = x + self.dropout(y, deterministic=deterministic)
         if self._dtype != jnp.float32:
-            clamp = jnp.finfo(self._dtype).max - 1000
+            # float() keeps the bound weakly-typed: jnp.finfo's numpy scalar
+            # would promote the whole residual stream to fp32
+            clamp = float(jnp.finfo(self._dtype).max - 1000)
             hidden_states = jnp.clip(hidden_states, -clamp, clamp)
         return hidden_states, new_cache
 
@@ -748,11 +751,19 @@ class VLT5(nn.Module):
                                        (pd, pd, pd))
         else:
             self.phm_rule = None
+        # model-shared Compacter slow weights (shared_W_phm; the reference's
+        # set_W path is dead code — see config.AdapterSpec.shared_W_phm)
+        if self.cfg.pet.use_compacter and self.cfg.pet.shared_W_phm:
+            self.phm_W = make_shared_phm_W(self, self.cfg.pet, b.d_model)
+        else:
+            self.phm_W = None
 
     def _ctx(self, ctx: Optional[PetContext]) -> PetContext:
         ctx = ctx or PetContext()
         if self.phm_rule is not None and ctx.phm_rule is None:
             ctx = dataclasses.replace(ctx, phm_rule=self.phm_rule)
+        if self.phm_W is not None and ctx.phm_W is None:
+            ctx = dataclasses.replace(ctx, phm_W=self.phm_W)
         return ctx
 
     def _logits(self, dec_out: Array) -> Array:
