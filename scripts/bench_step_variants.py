@@ -1,7 +1,11 @@
 """A/B the flagship train step across config variants on the TPU.
 
-Usage: python scripts/bench_step_variants.py [variant ...]
-Variants: base | remat_dots | remat_full | fused_ce  (default: all)
+Usage: python scripts/bench_step_variants.py [--fresh-cache] [variant ...]
+Variants: base | remat_dots | remat_full | fused_ce | scan  (default: all)
+
+--fresh-cache compiles into a throwaway cache dir so the reported
+``compile_s`` is a true cold-compile time (the default reuses the
+persistent cache, hiding compiles seen before).
 
 Same methodology as bench.py (async dispatch, one data-dependent host
 fetch, best-of-3 windows) so numbers are comparable.
@@ -11,12 +15,18 @@ import dataclasses
 import json
 import os
 import sys
+import tempfile
 import time
 
 import jax
 import jax.numpy as jnp
 
-jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_jax_cache")
+if "--fresh-cache" in sys.argv:
+    sys.argv.remove("--fresh-cache")
+    _cache_dir = tempfile.mkdtemp(prefix="vlpet_cold_cache_")
+else:
+    _cache_dir = "/tmp/vlpet_jax_cache"
+jax.config.update("jax_compilation_cache_dir", _cache_dir)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -26,6 +36,8 @@ VARIANTS = {
     "remat_dots": {"remat": "dots"},
     "remat_full": {"remat": "full"},
     "fused_ce": {"use_fused_ce": True},
+    # lax.scan over layers: one traced/compiled layer body (compile-time lead)
+    "scan": {"scan_layers": True},
 }
 
 
@@ -52,7 +64,12 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     step = make_train_step(model, tx, tasks)
 
     rng = jax.random.key(0, impl="rbg")
-    for _ in range(3):
+    t0 = time.perf_counter()
+    rng, sub = jax.random.split(rng)
+    state, metrics = step(state, frozen, batch, sub, 0)
+    float(jnp.asarray(metrics["loss"]))
+    compile_s = time.perf_counter() - t0  # cold only with --fresh-cache
+    for _ in range(2):
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
     loss = float(jnp.asarray(metrics["loss"]))
@@ -69,6 +86,7 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     ex_s = B * n_steps / best_dt
     print(json.dumps({"variant": name, "ex_per_sec": round(ex_s, 1),
                       "ms_per_step": round(1e3 * best_dt / n_steps, 2),
+                      "compile_s": round(compile_s, 1),
                       "loss": round(loss, 4)}), flush=True)
     return ex_s
 

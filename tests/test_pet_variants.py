@@ -65,6 +65,13 @@ VARIANTS = {
         "--factorized_phm", "False", "--share_down_sampler",
         "--share_up_sampler", "--shared_phm_rule_over_tasks",
         "--unfreeze_layer_norms"],
+    # model-shared Compacter slow weights: ONE W_down/W_up at the model root
+    # injected into every PHMDense (working version of the reference's dead
+    # shared_W_phm path — adapters/config.py:35, set_W never called)
+    "compacter_shared_W": [
+        "--use_compacter", "--hypercomplex_division", "4",
+        "--reduction_factor", "8", "--shared_W_phm", "True",
+        "--unfreeze_layer_norms", "--use_single_adapter"],
     # per-task compacter, no sharing at all: each task owns W AND phm_rule
     "compacter_per_task": [
         "--use_compacter", "--hypercomplex_division", "4",
@@ -216,6 +223,26 @@ def test_variant_trains_and_generates(name, tmp_path):
     # generation path must work with the variant's hooks
     res = trainer.predict(loaders[1], num_beams=2, max_length=6)
     assert len(res["predictions"]) > 0
+
+
+def test_compacter_shared_W_structure(tmp_path):
+    """shared_W_phm: ONE factorized W_down/W_up pair lives at the model root
+    (trainable), and the per-layer PHM samplers own no slow weights."""
+    import jax
+
+    trainer, loaders = build_trainer(VARIANTS["compacter_shared_W"], tmp_path)
+    names = [jax.tree_util.keystr(p) for p, _ in
+             jax.tree_util.tree_flatten_with_path(trainer.merged_params)[0]]
+    root_w = sorted(n for n in names if "phm_W_" in n)
+    assert len(root_w) == 4, root_w  # {down,up} × {left,right} (factorized)
+    sampler_w = [n for n in names if "sampler" in n
+                 and ("W_left" in n or "W_right" in n or n.endswith("['W']"))]
+    assert not sampler_w, sampler_w
+    # the shared weights actually train (freezing rule picks them up)
+    trainable = [jax.tree_util.keystr(p) for p, _ in
+                 jax.tree_util.tree_flatten_with_path(
+                     trainer.state.params)[0]]
+    assert sum("phm_W_" in n for n in trainable) == 4
 
 
 def test_attn_prefix_trains_and_generates(tmp_path):

@@ -122,6 +122,9 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--low_rank_rank", type=int, default=1)
     add("--phm_init_range", type=float, default=0.01)
     add("--shared_phm_rule_over_tasks", action="store_true")
+    # extension: working version of the reference's declared-but-dead
+    # shared_W_phm mode (src/adapters/config.py:35; set_W never called)
+    add("--shared_W_phm", type=str2bool, default=False)
     add("--add_layer_norm_before_adapter", action="store_true")
     add("--add_layer_norm_after_adapter", action="store_true")
     add("--reduction_factor", type=int, default=16)

@@ -65,6 +65,12 @@ class AdapterSpec:
     phm_init_range: float = 0.01
     phm_c_init: str = "normal"
     shared_phm_rule_over_tasks: bool = False
+    # model-shared Compacter W (down/up slow weights live once at the model
+    # root and are injected into every PHMDense, like shared_phm_rule).
+    # NOTE: the reference declares this flag (src/adapters/config.py:35) but
+    # its wiring is dead code — PHMLinear.set_W (hypercomplex/layers.py:160)
+    # is never called, so enabling it there crashes. Implemented working here.
+    shared_W_phm: bool = False
     kronecker_prod: bool = False
     # low-rank adapter (reference: src/adapters/config.py:129-173)
     low_rank_rank: int = 1
@@ -154,6 +160,7 @@ class PetConfig:
     learn_phm: bool = True
     phm_init_range: float = 0.01
     shared_phm_rule_over_tasks: bool = False
+    shared_W_phm: bool = False  # see AdapterSpec.shared_W_phm
     low_rank_rank: int = 1
 
     # --- hyperformer --------------------------------------------------------
@@ -323,6 +330,7 @@ class PetConfig:
             learn_phm=self.learn_phm,
             phm_init_range=self.phm_init_range,
             shared_phm_rule_over_tasks=self.shared_phm_rule_over_tasks,
+            shared_W_phm=self.shared_W_phm,
             low_rank_rank=self.low_rank_rank,
             track_z=self.track_z,
         )

@@ -23,7 +23,8 @@ from flax import linen as nn
 from vlpet_tpu.config import VLModelConfig
 from vlpet_tpu.models.bart import BartDecoder, JointEncoder, expand_mask
 from vlpet_tpu.pet.hypernet import TaskEmbeddingController
-from vlpet_tpu.pet.modules import OutputParallelAdapterLayer, PetContext, normal_init
+from vlpet_tpu.pet.modules import (OutputParallelAdapterLayer, PetContext,
+                                   make_shared_phm_W, normal_init)
 from vlpet_tpu.config import HyperformerSpec
 
 Array = jax.Array
@@ -145,12 +146,20 @@ class VLBart(nn.Module):
                                        (pd, pd, pd))
         else:
             self.phm_rule = None
+        # model-shared Compacter slow weights (shared_W_phm; the reference's
+        # set_W path is dead code — see config.AdapterSpec.shared_W_phm)
+        if c.pet.use_compacter and c.pet.shared_W_phm:
+            self.phm_W = make_shared_phm_W(self, c.pet, c.d_model)
+        else:
+            self.phm_W = None
 
     def _ctx(self, ctx: Optional[PetContext]) -> PetContext:
         ctx = ctx or PetContext()
+        import dataclasses
         if self.phm_rule is not None and ctx.phm_rule is None:
-            import dataclasses
             ctx = dataclasses.replace(ctx, phm_rule=self.phm_rule)
+        if self.phm_W is not None and ctx.phm_W is None:
+            ctx = dataclasses.replace(ctx, phm_W=self.phm_W)
         return ctx
 
     def _logits(self, dec_out: Array) -> Array:

@@ -161,6 +161,11 @@ class PetContext:
     task: str = struct.field(pytree_node=False, default="default")
     task_idx: int = struct.field(pytree_node=False, default=0)
     phm_rule: Optional[Array] = None  # (phm_dim, phm_dim, phm_dim)
+    # shared_W_phm: model-root Compacter slow weights, injected into every
+    # PHMDense. {"down": W, "up": W} where W is (pd, in/pd, out/pd) or a
+    # factorized (W_left, W_right) tuple. (The reference declares this mode
+    # but its set_W wiring is dead code — see config.AdapterSpec.shared_W_phm.)
+    phm_W: Any = None
     block_adapters: Any = None
 
     def for_layer(self, block_adapters) -> "PetContext":
@@ -276,15 +281,31 @@ class PHMDense(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, task_idx: int = 0,
-                 phm_rule: Optional[Array] = None) -> Array:
+                 phm_rule: Optional[Array] = None,
+                 W_shared: Any = None) -> Array:
         s = self.spec
         pd = s.hypercomplex_division
         assert self.in_dim % pd == 0 and self.out_dim % pd == 0
         in_per, out_per = self.in_dim // pd, self.out_dim // pd
         lead = () if self.shared else (self.n_tasks,)
 
+        # shared_W_phm: slow weights injected from the model root — this
+        # layer owns no W of its own (reference intent: config.py:35 +
+        # layers.py:83-92 skip init_W when shared_W_phm)
+        if W_shared is not None:
+            if isinstance(W_shared, tuple):
+                wl, wr = W_shared
+                assert wl.shape == (pd, in_per, s.phm_rank) \
+                    and wr.shape == (pd, s.phm_rank, out_per), \
+                    f"shared phm W mismatch: {wl.shape}/{wr.shape} for " \
+                    f"({self.in_dim},{self.out_dim}) pd={pd}"
+                W = jnp.einsum("rip,rpo->rio", wl.astype(self.dtype),
+                               wr.astype(self.dtype))
+            else:
+                assert W_shared.shape == (pd, in_per, out_per)
+                W = W_shared.astype(self.dtype)
         # W (possibly factorized), glorot-uniform init (w_init default)
-        if s.factorized_phm:
+        elif s.factorized_phm:
             w_left = self.param("W_left", glorot_uniform_gain2,
                                 lead + (pd, in_per, s.phm_rank))
             w_right = self.param("W_right", glorot_uniform_gain2,
@@ -390,6 +411,39 @@ class LowRankAdapter(nn.Module):
                             name="up_sampler")(z, task_idx)
 
 
+def make_shared_phm_W(module: nn.Module, pet, d_model: int) -> Any:
+    """Create the model-root shared Compacter slow weights (shared_W_phm).
+
+    Called from the flagship models' setup(); the returned pytree is injected
+    into every PHMDense via PetContext.phm_W. One W_down (d_model→down_dim)
+    and one W_up (down_dim→d_model), factorized iff pet.factorized_phm —
+    the working version of the reference's dead set_W path
+    (src/adapters/hypercomplex/layers.py:160, never invoked)."""
+    down = (pet.adapter_down_dim if pet.use_adapter_down_dim
+            else d_model // pet.reduction_factor)
+    pd, rank = pet.hypercomplex_division, pet.phm_rank
+
+    def mk(prefix: str, i: int, o: int):
+        ip, op = i // pd, o // pd
+        if pet.factorized_phm:
+            return (module.param(f"{prefix}_left", glorot_uniform_gain2,
+                                 (pd, ip, rank)),
+                    module.param(f"{prefix}_right", glorot_uniform_gain2,
+                                 (pd, rank, op)))
+        return module.param(prefix, glorot_uniform_gain2, (pd, ip, op))
+
+    return {"down": mk("phm_W_down", d_model, down),
+            "up": mk("phm_W_up", down, d_model)}
+
+
+def _phm_w_dims(W: Any, s: AdapterSpec) -> Tuple[int, int]:
+    """(in_dim, out_dim) implied by a shared phm W (full or factorized)."""
+    pd = s.hypercomplex_division
+    if isinstance(W, tuple):
+        return W[0].shape[1] * pd, W[1].shape[2] * pd
+    return W.shape[1] * pd, W.shape[2] * pd
+
+
 class HyperComplexAdapter(nn.Module):
     """Compacter adapter: PHM down → act → PHM up
     (reference: src/adapters/adapter_modeling.py:88-139)."""
@@ -399,7 +453,8 @@ class HyperComplexAdapter(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array, task_idx: int = 0,
-                 phm_rule: Optional[Array] = None) -> Array:
+                 phm_rule: Optional[Array] = None,
+                 phm_W: Any = None) -> Array:
         s = self.spec
         n_tasks = len(s.tasks)
         # sampler sharing applies to every adapter kind
@@ -407,13 +462,23 @@ class HyperComplexAdapter(nn.Module):
         down_shared = s.use_single_adapter or s.share_down_sampler or n_tasks == 1
         up_shared = s.use_single_adapter or s.share_up_sampler or n_tasks == 1
         rule = phm_rule if s.shared_phm_rule else None
+        # model-shared slow weights apply only where the sampler dims match
+        # the root W (e.g. down-dim variants keep their own W)
+        W_down = W_up = None
+        if s.shared_W_phm and phm_W is not None:
+            if _phm_w_dims(phm_W["down"], s) == (s.d_model, s.down_dim):
+                W_down = phm_W["down"]
+            if _phm_w_dims(phm_W["up"], s) == (s.down_dim, s.d_model):
+                W_up = phm_W["up"]
         z = PHMDense(s.d_model, s.down_dim, s, n_tasks, down_shared, dtype=self.dtype,
-                     name="down_sampler")(x, task_idx, phm_rule=rule)
+                     name="down_sampler")(x, task_idx, phm_rule=rule,
+                                          W_shared=W_down)
         z = get_activation(s.non_linearity)(z)
         if s.track_z:
             self.sow("intermediates", "z", z)
         return PHMDense(s.down_dim, s.d_model, s, n_tasks, up_shared, dtype=self.dtype,
-                        name="up_sampler")(z, task_idx, phm_rule=rule)
+                        name="up_sampler")(z, task_idx, phm_rule=rule,
+                                           W_shared=W_up)
 
 
 class AdapterController(nn.Module):
@@ -436,7 +501,7 @@ class AdapterController(nn.Module):
             z = nn.LayerNorm(dtype=self.dtype, name="pre_layer_norm")(z)
         if s.kind == "compacter":
             out = HyperComplexAdapter(s, dtype=self.dtype, name="adapters")(
-                z, ctx.task_idx, phm_rule=ctx.phm_rule)
+                z, ctx.task_idx, phm_rule=ctx.phm_rule, phm_W=ctx.phm_W)
         elif s.kind == "lowrank":
             out = LowRankAdapter(s, dtype=self.dtype, name="adapters")(z, ctx.task_idx)
         else:

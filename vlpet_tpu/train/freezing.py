@@ -97,6 +97,8 @@ def trainable_mask(params, pet: PetConfig) -> Any:
             t = True
         if pet.use_compacter and "phm_rule" in name and pet.learn_phm:
             t = True
+        if pet.use_compacter and "phm_W_" in name:
+            t = True  # model-shared Compacter slow weights (shared_W_phm)
         if pet.unfreeze_encoder_layer_norms and "encoder." in name and _is_layer_norm(name):
             t = True
         if pet.unfreeze_decoder_layer_norms and "decoder." in name and _is_layer_norm(name):
