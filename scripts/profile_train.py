@@ -29,6 +29,8 @@ def build():
     import dataclasses
     cfg, tasks = _flagship_cfg()
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    if "scan" in sys.argv[1:]:  # profile the scan-over-layers variant
+        cfg = dataclasses.replace(cfg, scan_layers=True)
     model = VLBart(cfg)
     B = 500
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
@@ -102,6 +104,11 @@ def summarize(trace_dir, top=40):
     stats.sort(reverse=True)
     total = sum(t for t, *_ in stats)
     print(f"total self time: {total/1000:.1f} ms (over traced window)")
+    by_cat = {}
+    for t, _, cat, _ in stats:
+        by_cat[cat] = by_cat.get(cat, 0.0) + t
+    for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
+        print(f"  category {str(cat):28s} {t/1000:8.3f} ms  {100*t/total:5.1f}%")
     for t, name, cat, occ in stats[:top]:
         print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ}  {str(name)[:110]}")
 
