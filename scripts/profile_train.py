@@ -94,23 +94,28 @@ def summarize(trace_dir, top=40):
         cat = get(r, "category")
         t = get(r, "total self time (us)", "self time (us)", "self_time", "self time")
         occ = get(r, "occurrences", "#occur")
+        gflops = get(r, "model gflop")
+        bw = get(r, "measured memory bw")
+        bound = get(r, "bound by")
         if name is None or t is None:
             continue
         try:
             t = float(t)
         except (TypeError, ValueError):
             continue
-        stats.append((t, name, cat, occ))
+        stats.append((t, name, cat, occ, gflops, bw, bound))
     stats.sort(reverse=True)
     total = sum(t for t, *_ in stats)
     print(f"total self time: {total/1000:.1f} ms (over traced window)")
     by_cat = {}
-    for t, _, cat, _ in stats:
+    for t, _, cat, *_ in stats:
         by_cat[cat] = by_cat.get(cat, 0.0) + t
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  category {str(cat):28s} {t/1000:8.3f} ms  {100*t/total:5.1f}%")
-    for t, name, cat, occ in stats[:top]:
-        print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ}  {str(name)[:110]}")
+    for t, name, cat, occ, gflops, bw, bound in stats[:top]:
+        extra = f" {gflops} GF/s, {bw} GiB/s, {bound}"
+        print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ} "
+              f"{str(name)[:70]} |{extra}")
 
 
 def main():

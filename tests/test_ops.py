@@ -89,6 +89,59 @@ def test_fused_attention_matches_reference():
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attention_compact_mask_and_causal():
+    """Length-collapsed (B,1,1,S) masks broadcast in-kernel, and causal=True
+    applies the triangle via iota — both must match the dense-mask reference
+    (fwd and bwd), including the prefix offset case S > L."""
+    from vlpet_tpu.ops.attention import (_pallas_attention,
+                                         _pallas_attention_bwd,
+                                         fused_attention_reference)
+
+    rng = np.random.default_rng(2)
+    B, L, H, Dh = 3, 16, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    pad = jnp.where(jnp.arange(L)[None, None, None, :] < 12, 0.0, -1e9)
+    compact = jnp.broadcast_to(pad, (B, 1, 1, L)).astype(jnp.float32)
+    dense = jnp.broadcast_to(compact, (B, 1, L, L))
+    # compact == dense, causal off
+    got = _pallas_attention(q, k, v, compact, H, interpret=True)
+    want = fused_attention_reference(q, k, v, dense, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # causal in-kernel == causal folded into a dense mask
+    tri = jnp.where(jnp.arange(L)[None, :] <= jnp.arange(L)[:, None],
+                    0.0, -1e9)[None, None]
+    got_c = _pallas_attention(q, k, v, compact, H, True, interpret=True)
+    want_c = fused_attention_reference(q, k, v, dense + tri, H)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=2e-5, atol=2e-5)
+    # prefix offset: S = P + L keys, first P always visible
+    P = 8
+    S = P + L
+    kp, vp = mk(B, S, H * Dh), mk(B, S, H * Dh)
+    zero = jnp.zeros((1, 1, 1, S), jnp.float32)
+    tri_off = jnp.where(
+        jnp.arange(S)[None, :] <= jnp.arange(L)[:, None] + P,
+        0.0, -1e9)[None, None]
+    got_p = _pallas_attention(q, kp, vp, zero, H, True, interpret=True)
+    want_p = fused_attention_reference(
+        q, kp, vp, jnp.broadcast_to(tri_off, (1, 1, L, S)), H)
+    np.testing.assert_allclose(np.asarray(got_p), np.asarray(want_p),
+                               rtol=2e-5, atol=2e-5)
+    # backward kernel with compact mask + causal
+    do = mk(B, L, H * Dh)
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, compact, do, H, True,
+                                       interpret=True)
+    _, vjp = jax.vjp(
+        lambda q, k, v: fused_attention_reference(q, k, v, dense + tri, H),
+        q, k, v)
+    rq, rk, rv = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
+
+
 def test_model_with_pallas_attention_matches_xla():
     """Full VLBart forward with use_pallas_attention (interpret mode) must
     equal the XLA attention path."""

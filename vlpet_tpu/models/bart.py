@@ -265,8 +265,12 @@ class BartAttention(nn.Module):
         return self._shape(k), self._shape(v)
 
     def _attend(self, q: Array, k: Array, v: Array, mask: Optional[Array],
-                deterministic: bool) -> Array:
-        # q,k,v: (B, L, H, Dh); attention logits accumulate in fp32
+                deterministic: bool, causal: bool = False) -> Array:
+        # q,k,v: (B, L, H, Dh); attention logits accumulate in fp32.
+        # ``mask`` is additive (B|1, 1, 1|L, S) — the length-collapsed
+        # (.., 1, S) padding form avoids materializing (B, 1, L, S);
+        # ``causal`` applies the decoder triangle (in-kernel iota on the
+        # Pallas path, causal_mask add on the XLA path).
         B, L = q.shape[:2]
         S = k.shape[1]
         # Pallas fused attention is the default on TPU: it keeps the fp32
@@ -277,18 +281,21 @@ class BartAttention(nn.Module):
         use_pallas = ((getattr(self.cfg, "use_pallas_attention", False)
                        or jax.default_backend() not in ("cpu",))
                       and (self.dropout == 0.0 or deterministic)
-                      and mask is not None and L > 1)
+                      and (mask is not None or causal) and L > 1)
         if use_pallas:
             from vlpet_tpu.ops.attention import fused_attention
 
-            m = jnp.broadcast_to(mask, (mask.shape[0], mask.shape[1], L, S))
+            m = (mask.astype(jnp.float32) if mask is not None
+                 else jnp.zeros((1, 1, 1, S), jnp.float32))
             return fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
-                                   v.reshape(B, S, -1),
-                                   m.astype(jnp.float32), self.num_heads)
+                                   v.reshape(B, S, -1), m, self.num_heads,
+                                   causal)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if mask is not None:
             logits = logits + mask.astype(jnp.float32)
+        if causal:
+            logits = logits + causal_mask(L, jnp.float32, offset=S - L)
         probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
         if self.dropout > 0.0:
             probs = self.attn_dropout(probs, deterministic=deterministic)
@@ -303,7 +310,8 @@ class BartAttention(nn.Module):
                  decode_pos: Optional[Array] = None,
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
                  beam_sel: Optional[Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 causal: bool = False):
         """Returns (attn_output, new_cache). ``prefix_kv`` (B, P, H, Dh)
         prepends learned prefix-tuning context to the keys/values (the
         reference's past_key_value-for-prefix path, modeling_prefix_bart.py);
@@ -362,7 +370,8 @@ class BartAttention(nn.Module):
             if prefix_kv is not None:
                 k = jnp.concatenate([prefix_kv[0].astype(k.dtype), k], axis=1)
                 v = jnp.concatenate([prefix_kv[1].astype(v.dtype), v], axis=1)
-        out = self._attend(q, k, v, attention_mask, deterministic)
+        out = self._attend(q, k, v, attention_mask, deterministic,
+                           causal=causal)
         return self.out_proj(out), new_cache
 
 
@@ -651,11 +660,14 @@ class BartDecoderLayer(nn.Module):
 
         # --- self-attention ---------------------------------------------------
         residual = hidden_states
+        # causal only reaches _attend on the teacher-forcing path (the
+        # decode paths return before it); the triangle is applied in-kernel
         h, new_cache = self.self_attn(hidden_states, ctx,
                                       attention_mask=attention_mask, cache=cache,
                                       decode_pos=decode_pos, prefix_kv=prefix_kv,
                                       beam_sel=beam_sel,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic,
+                                      causal=True)
         if self.self_attn_adapter is not None:
             h = self.self_attn_adapter(h, ctx)
         elif self.decoder_self_attn_adapter is not None:
@@ -870,7 +882,10 @@ class JointEncoder(nn.Module):
             joint_mask = attention_mask
 
         h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
-        attn_mask = expand_mask(joint_mask, h.shape[1], dt)
+        # length-collapsed (B, 1, 1, S) additive mask: broadcasts in both the
+        # Pallas kernel and the XLA einsum path without ever materializing
+        # the (B, 1, L, S) form in HBM
+        attn_mask = expand_mask(joint_mask, 1, dt)
 
         prefix_kvs = None
         if vis_prefix_kvs is not None:
@@ -1044,9 +1059,11 @@ class BartDecoder(nn.Module):
         beam_sel = None
         if decode_pos is None:
             h = h + pos_table[2 + P_off:2 + P_off + T].astype(dt)[None]
-            self_mask = causal_mask(T, dt)
-            if decoder_attention_mask is not None:
-                self_mask = self_mask + expand_mask(decoder_attention_mask, T, dt)
+            # the causal triangle is applied inside attention (causal=True
+            # at the layer's self-attn call); only the padding mask — in its
+            # length-collapsed (B, 1, 1, T) form — travels as a tensor
+            self_mask = (expand_mask(decoder_attention_mask, 1, dt)
+                         if decoder_attention_mask is not None else None)
         else:
             pos_emb = jax.lax.dynamic_slice(pos_table, (decode_pos + 2, 0),
                                             (1, b.d_model)).astype(dt)
@@ -1067,16 +1084,19 @@ class BartDecoder(nn.Module):
 
         cross_mask = None
         if encoder_attention_mask is not None:
-            cross_mask = expand_mask(encoder_attention_mask, h.shape[1], dt)
+            cross_mask = expand_mask(encoder_attention_mask, 1, dt)
 
         prefix_kvs = None
         if (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0
                 and decode_pos is None):
             prefix_kvs = self.decoder_prefix_embedding(B)
             P = c.pet.decoder_prompt_len
-            self_mask = jnp.concatenate(
-                [jnp.zeros(self_mask.shape[:3] + (P,), self_mask.dtype),
-                 self_mask], axis=-1)
+            # prefix slots are always attendable: zero mask columns; the
+            # in-attention causal offset (S-L = P) already opens them
+            if self_mask is not None:
+                self_mask = jnp.concatenate(
+                    [jnp.zeros(self_mask.shape[:3] + (P,), self_mask.dtype),
+                     self_mask], axis=-1)
 
         if self.scan_ok:
             assert cache is None and decode_pos is None and prefix_kvs is None, \

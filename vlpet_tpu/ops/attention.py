@@ -48,11 +48,41 @@ def _heads(q_ref, h, head_dim):
     return q_ref[:, :, sl]
 
 
+def _causal_allowed(L: int, S: int):
+    """(L, S) bool: query i may see key j iff j <= i + (S - L) — the
+    past-offset form (prefix-tuning prepends S-L always-visible slots)."""
+    row = jax.lax.broadcasted_iota(jnp.int32, (L, S), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (L, S), 1)
+    return col <= row + (S - L)
+
+
+def _compact_mask(mask_ref, L: int):
+    """(TBm, 8, S) block of 8 identical sublane rows → (TBm, L, S) f32.
+
+    Mosaic cannot broadcast a size-1 sublane dim (and a (tb, S) 2-D block
+    violates the 8×128 tiling rule when tb isn't a multiple of 8), so the
+    caller ships the length-collapsed mask with its sublane dim pre-padded
+    to one full 8-row tile; tiling up to L is aligned concatenation of
+    whole tiles — pure in-register VPU work, no HBM. The old dense path
+    loaded a (TB, L, S) fp32 mask per program instead — the dominant HBM
+    traffic of the kernel."""
+    m = mask_ref[...].astype(jnp.float32)  # (TBm, 8, S)
+    reps = (L + 7) // 8
+    if reps > 1:
+        m = jnp.concatenate([m] * reps, axis=1)
+    return m[:, :L]
+
+
 def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                q_ref, k_ref, v_ref, mask_ref, out_ref):
+                causal: bool, compact: bool, q_ref, k_ref, v_ref, mask_ref,
+                out_ref):
+    L, S = q_ref.shape[1], k_ref.shape[1]
+    allowed = _causal_allowed(L, S)[None] if causal else None
     shared_mask = None
-    if not per_head_mask:
-        shared_mask = mask_ref[:, 0].astype(jnp.float32)  # (TBm, L, S)
+    if compact:
+        shared_mask = _compact_mask(mask_ref, L)
+    elif not per_head_mask:
+        shared_mask = mask_ref[:, 0].astype(jnp.float32)
     for h in range(num_heads):
         q = _heads(q_ref, h, head_dim)      # (TB, L, Dh)
         k = _heads(k_ref, h, head_dim)      # (TB, S, Dh)
@@ -61,37 +91,55 @@ def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
                                 preferred_element_type=jnp.float32)
         mask = shared_mask if shared_mask is not None \
             else mask_ref[:, h].astype(jnp.float32)
-        s = s + mask  # broadcasts (1, L, S) or matches (TB, L, S)
+        s = s + mask  # broadcasts (1|TB, 1|L, S)
+        if allowed is not None:
+            s = jnp.where(allowed, s, jnp.float32(-1e9))
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
         o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         out_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
 
 
-def _specs(B, L, S, inner, Hm, Bm, tb, ms):
+def _specs(B, L, S, inner, Hm, Bm, Lm, tb, ms):
     spec_q = pl.BlockSpec((tb, L, inner), lambda b: (b, 0, 0), memory_space=ms)
     spec_kv = pl.BlockSpec((tb, S, inner), lambda b: (b, 0, 0), memory_space=ms)
-    if Bm == 1:
-        spec_m = pl.BlockSpec((1, Hm, L, S), lambda b: (0, 0, 0, 0),
+    if Lm == 1 and Hm == 1:
+        # compact (length-collapsed) mask: rides as (Bm, 8, S) — one full
+        # 8-row sublane tile of identical rows (see _compact_mask)
+        if Bm == 1:
+            spec_m = pl.BlockSpec((1, 8, S), lambda b: (0, 0, 0),
+                                  memory_space=ms)
+        else:
+            spec_m = pl.BlockSpec((tb, 8, S), lambda b: (b, 0, 0),
+                                  memory_space=ms)
+    elif Bm == 1:
+        spec_m = pl.BlockSpec((1, Hm, Lm, S), lambda b: (0, 0, 0, 0),
                               memory_space=ms)
     else:
-        spec_m = pl.BlockSpec((tb, Hm, L, S), lambda b: (b, 0, 0, 0),
+        spec_m = pl.BlockSpec((tb, Hm, Lm, S), lambda b: (b, 0, 0, 0),
                               memory_space=ms)
     return spec_q, spec_kv, spec_m
 
 
 def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
-                      num_heads: int, *, interpret: bool = False) -> Array:
+                      num_heads: int, causal: bool = False,
+                      *, interpret: bool = False) -> Array:
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
-    Hm = mask.shape[1]
+    Hm, Lm = mask.shape[1], mask.shape[2]
     per_head = Hm == num_heads and num_heads > 1
+    compact = Lm == 1 and Hm == 1
+    if compact:
+        mask = jnp.broadcast_to(mask.reshape(mask.shape[0], 1, S),
+                                (mask.shape[0], 8, S))
     tb = _block_rows(B)
     ms = pl.ANY if interpret else pltpu.VMEM
-    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], tb, ms)
+    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
+                                     tb, ms)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, num_heads, head_dim, per_head),
+        functools.partial(_fwd_kernel, num_heads, head_dim, per_head, causal,
+                          compact),
         grid=(B // tb,),
         in_specs=[spec_q, spec_kv, spec_kv, spec_m],
         out_specs=spec_q,
@@ -100,7 +148,7 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     )(q, k, v, mask)
 
 
-def fused_attention_reference(q, k, v, mask, num_heads):
+def fused_attention_reference(q, k, v, mask, num_heads, causal=False):
     B, L, inner = q.shape
     S = k.shape[1]
     hd = inner // num_heads
@@ -109,19 +157,26 @@ def fused_attention_reference(q, k, v, mask, num_heads):
     vh = v.reshape(B, S, num_heads, hd)
     s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                    preferred_element_type=jnp.float32)
-    s = s + mask.astype(jnp.float32)
+    s = s + mask.astype(jnp.float32)  # (B|1, 1|H, 1|L, S) broadcasts
+    if causal:
+        s = jnp.where(_causal_allowed(L, S)[None, None], s,
+                      jnp.float32(-1e9))
     p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
     return o.reshape(B, L, inner)
 
 
 def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                q_ref, k_ref, v_ref, mask_ref, do_ref,
-                dq_ref, dk_ref, dv_ref):
+                causal: bool, compact: bool, q_ref, k_ref, v_ref, mask_ref,
+                do_ref, dq_ref, dk_ref, dv_ref):
     """Recomputes p in VMEM and emits dq/dk/dv — no HBM round trips for the
     (TB, L, S) intermediates."""
+    L, S = q_ref.shape[1], k_ref.shape[1]
+    allowed = _causal_allowed(L, S)[None] if causal else None
     shared_mask = None
-    if not per_head_mask:
+    if compact:
+        shared_mask = _compact_mask(mask_ref, L)
+    elif not per_head_mask:
         shared_mask = mask_ref[:, 0].astype(jnp.float32)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
@@ -133,7 +188,10 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
                                 preferred_element_type=jnp.float32)
         mask = shared_mask if shared_mask is not None \
             else mask_ref[:, h].astype(jnp.float32)
-        p = jax.nn.softmax(s + mask, axis=-1)
+        s = s + mask
+        if allowed is not None:
+            s = jnp.where(allowed, s, jnp.float32(-1e9))
+        p = jax.nn.softmax(s, axis=-1)
         # dv = p^T @ do   (contract L)
         dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
@@ -153,17 +211,24 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         dv_ref[:, :, sl] = dv.astype(dv_ref.dtype)
 
 
-def _pallas_attention_bwd(q, k, v, mask, do, num_heads, *, interpret=False):
+def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
+                          *, interpret=False):
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
-    Hm = mask.shape[1]
+    Hm, Lm = mask.shape[1], mask.shape[2]
     per_head = Hm == num_heads and num_heads > 1
+    compact = Lm == 1 and Hm == 1
+    if compact:
+        mask = jnp.broadcast_to(mask.reshape(mask.shape[0], 1, S),
+                                (mask.shape[0], 8, S))
     tb = _block_rows(B)
     ms = pl.ANY if interpret else pltpu.VMEM
-    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], tb, ms)
+    spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
+                                     tb, ms)
     return pl.pallas_call(
-        functools.partial(_bwd_kernel, num_heads, head_dim, per_head),
+        functools.partial(_bwd_kernel, num_heads, head_dim, per_head, causal,
+                          compact),
         grid=(B // tb,),
         in_specs=[spec_q, spec_kv, spec_kv, spec_m, spec_q],
         out_specs=(spec_q, spec_kv, spec_kv),
@@ -174,25 +239,29 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, *, interpret=False):
     )(q, k, v, mask, do)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_attention(q: Array, k: Array, v: Array, mask: Array,
-                    num_heads: int) -> Array:
+                    num_heads: int, causal: bool = False) -> Array:
     """q (B, L, H·Dh) pre-scaled; k, v (B, S, H·Dh); mask additive
-    (B|1, 1|H, L, S). Returns (B, L, H·Dh).
+    (B|1, 1|H, 1|L, S) — a length-collapsed (.., 1, S) padding mask
+    broadcasts inside the kernel, saving the (TB, L, S) fp32 mask load.
+    ``causal`` applies the decoder triangular mask in-kernel via iota
+    (offset S-L for prefix slots) — no mask tensor materializes in HBM.
+    Returns (B, L, H·Dh).
 
     NOTE: the mask is treated as non-differentiable (zero cotangent). True
     for every PET recipe (the T5 relative bias is frozen); disable
     use_pallas_attention when fully fine-tuning T5's relative bias."""
-    return _pallas_attention(q, k, v, mask, num_heads)
+    return _pallas_attention(q, k, v, mask, num_heads, causal)
 
 
-def _fwd(q, k, v, mask, num_heads):
-    return _pallas_attention(q, k, v, mask, num_heads), (q, k, v, mask)
+def _fwd(q, k, v, mask, num_heads, causal):
+    return _pallas_attention(q, k, v, mask, num_heads, causal), (q, k, v, mask)
 
 
-def _bwd(num_heads, res, do):
+def _bwd(num_heads, causal, res, do):
     q, k, v, mask = res
-    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads)
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal)
     return dq, dk, dv, jnp.zeros_like(mask)
 
 

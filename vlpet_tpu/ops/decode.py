@@ -226,11 +226,14 @@ def beam_cross_attend(q: Array, k: Array, v: Array,
         # measured ~40 ms/layer, 100x off roofline — PERF.md)
         from vlpet_tpu.ops.attention import fused_attention
 
-        m = jnp.zeros((B, 1, K, S), jnp.float32)
-        if mask is not None:
-            m = m + mask.astype(jnp.float32).reshape(B, 1, 1, S)
-        if bias is not None:
-            m = m + bias.astype(jnp.float32)
+        if bias is None:
+            # length-collapsed (B,1,1,S) form: broadcast happens in-kernel
+            m = (mask.astype(jnp.float32).reshape(B, 1, 1, S)
+                 if mask is not None else jnp.zeros((1, 1, 1, S), jnp.float32))
+        else:
+            m = jnp.zeros((B, 1, K, S), jnp.float32) + bias.astype(jnp.float32)
+            if mask is not None:
+                m = m + mask.astype(jnp.float32).reshape(B, 1, 1, S)
         out = fused_attention(qb.reshape(B, K, H * Dh),
                               k.reshape(B, S, H * Dh),
                               v.reshape(B, S, H * Dh), m, H)
