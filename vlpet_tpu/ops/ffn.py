@@ -80,9 +80,13 @@ def _act_grad(h, kind: str):
 
 
 def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0) -> int:
-    """Largest row tile whose VMEM residency (weights + x/h/y tiles) fits."""
+    """Largest row tile whose VMEM residency (weights + x/h/y tiles) fits.
+
+    Power-of-two tiles only: Mosaic's scoped-vmem stack allocation blows
+    past the 16 MB limit for other sizes (tb 80/112/160 all fail compile
+    where 128 fits — scripts/probe_ffn_tile.py)."""
     weights = 2 * (d * f + f * d)  # bf16
-    for tb in (512, 384, 256, 128, 64, 32, 16, 8):
+    for tb in (512, 256, 128, 64, 32, 16, 8):
         tile = tb * (d * 2 + f * 4 + f * 2 + d * 4)  # x bf16, h f32+bf16, y f32
         if weights + tile <= budget_mb * 1024 * 1024:
             return tb
@@ -122,7 +126,14 @@ def _pad_rows(x: Array, tb: int):
 
 def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim):
     """row_inputs are (N, ·) tensors sliced per grid row-tile; full_inputs
-    (weights/biases) live whole in VMEM across the sequential grid."""
+    (weights/biases) live whole in VMEM across the sequential grid.
+
+    N is padded to the row tile explicitly (a ~2.5 ms/step pad+slice cost
+    at flagship shapes — hlo_stats). Cheaper alternatives were tried and
+    rejected on hardware: non-power-of-two tiles that divide N exactly
+    (80/112/160) blow Mosaic's 16 MB scoped-vmem stack where 128 fits,
+    and a pl.cdiv ragged grid hangs the Mosaic compile outright
+    (scripts/probe_ffn_tile.py)."""
     n0 = row_inputs[0].shape[0]
     d = row_inputs[0].shape[1]
     tb = _row_tile(n0, d, d_hidden)
