@@ -142,6 +142,38 @@ def test_fused_attention_compact_mask_and_causal():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attention_per_head_bias_input():
+    """Separate batch-shared per-head bias (T5 relative positions) +
+    compact per-batch mask must equal folding both into one dense mask
+    (fwd and bwd)."""
+    from vlpet_tpu.ops.attention import (_pallas_attention,
+                                         _pallas_attention_bwd,
+                                         fused_attention_reference)
+
+    rng = np.random.default_rng(3)
+    B, L, H, Dh = 3, 16, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    bias = mk(1, H, L, L)
+    compact = jnp.broadcast_to(
+        jnp.where(jnp.arange(L)[None, None, None, :] < 12, 0.0, -1e9),
+        (B, 1, 1, L)).astype(jnp.float32)
+    dense = jnp.broadcast_to(compact, (B, 1, L, L)) + bias
+    got = _pallas_attention(q, k, v, compact, H, False, bias, interpret=True)
+    want = fused_attention_reference(q, k, v, dense, H)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    do = mk(B, L, H * Dh)
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, compact, do, H, False, bias,
+                                       interpret=True)
+    _, vjp = jax.vjp(lambda q, k, v: fused_attention_reference(q, k, v, dense, H),
+                     q, k, v)
+    rq, rk, rv = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
+
+
 def test_model_with_pallas_attention_matches_xla():
     """Full VLBart forward with use_pallas_attention (interpret mode) must
     equal the XLA attention path."""

@@ -165,7 +165,8 @@ class T5Attention(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  beam_sel: Optional[Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 pad_mask: Optional[Array] = None):
         b: T5Config = self.cfg.backbone
         q = self._shape(self.q(hidden_states))  # no scaling (T5)
         new_cache = cache
@@ -212,23 +213,38 @@ class T5Attention(nn.Module):
         S = k.shape[1]
         use_pallas = (jax.default_backend() not in ("cpu",)
                       and (b.dropout_rate == 0.0 or deterministic)
-                      and position_bias is not None and L > 1)
+                      and (position_bias is not None or pad_mask is not None)
+                      and L > 1)
         if use_pallas:
             # fused VMEM attention in projection-native layout (see
-            # models/bart.py _attend); position_bias rides as the additive
-            # (1|B, H|1, L, S) mask
+            # models/bart.py _attend). A batch-shared per-head bias
+            # (T5 relative positions, (1,H,L,S)) rides as the kernel's
+            # separate bias input; the per-batch padding mask rides in its
+            # length-collapsed (B,1,1,S) form — their (B,H,L,S) sum never
+            # materializes (it cost ~200 MB/step at flagship T5 shapes).
             from vlpet_tpu.ops.attention import fused_attention
 
-            m = jnp.broadcast_to(position_bias,
-                                 position_bias.shape[:2] + (L, S))
+            bias = None
+            m = pad_mask
+            if position_bias is not None and position_bias.shape[1] > 1:
+                bias = jnp.broadcast_to(
+                    position_bias, (1,) + position_bias.shape[1:2] + (L, S))
+            elif position_bias is not None:
+                m = (position_bias if m is None
+                     else m + position_bias)  # both (B|1, 1, 1|L, S)
+            if m is None:
+                m = jnp.zeros((1, 1, 1, S), jnp.float32)
             out = fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
                                   v.reshape(B, S, -1),
-                                  m.astype(jnp.float32), b.num_heads)
+                                  m.astype(jnp.float32), b.num_heads,
+                                  False, bias)
             return self.o(out), new_cache
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if position_bias is not None:
             scores = scores + position_bias.astype(jnp.float32)
+        if pad_mask is not None:
+            scores = scores + pad_mask.astype(jnp.float32)
         probs = jax.nn.softmax(scores, axis=-1).astype(q.dtype)
         if b.dropout_rate > 0:
             probs = self.attn_dropout(probs, deterministic=deterministic)
@@ -399,14 +415,16 @@ class T5Block(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  beam_sel: Optional[Array] = None,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 pad_mask: Optional[Array] = None):
         block = ctx.block_adapters
         # --- self-attention ------------------------------------------------
         x = hidden_states
         y, new_cache = self.self_attn(self.self_attn_layer_norm(x), ctx,
                                       position_bias=position_bias, cache=cache,
                                       decode_pos=decode_pos, beam_sel=beam_sel,
-                                      deterministic=deterministic)
+                                      deterministic=deterministic,
+                                      pad_mask=pad_mask)
         if not self.is_decoder:
             y = self.attn_hooks(y, x, ctx,
                                 block.self_attention if block else None)
@@ -555,20 +573,23 @@ class T5JointEncoder(nn.Module):
             joint_mask = attention_mask
 
         h = self.dropout(h, deterministic=deterministic)
-        ext_mask = expand_mask(joint_mask, L + V_L, dt)
+        # length-collapsed (B,1,1,S) padding mask — kept SEPARATE from the
+        # (1,H,S,S) relative bias so their per-batch-per-head sum
+        # (B,H,S,S — ~200 MB/step at flagship shapes) never materializes;
+        # the attention adds both (in-kernel on TPU, fused adds on CPU)
+        ext_mask = expand_mask(joint_mask, 1, dt)
 
         # block-diagonal bias: text↔text T5 bias, vision rows/cols 0
         text_bias = self.blocks[0].self_attn.compute_bias(L, L)
         n_heads = text_bias.shape[1]
         position_bias = jnp.zeros((1, n_heads, L + V_L, L + V_L), dt)
         position_bias = position_bias.at[:, :, :L, :L].set(text_bias)
-        position_bias = position_bias + ext_mask
 
         for i, blk in enumerate(self.blocks):
             block_w = (self.adapter_layers_hyper_net(task_embedding, i)
                        if self.adapter_layers_hyper_net is not None else None)
             h, _ = blk(h, ctx.for_layer(block_w), position_bias=position_bias,
-                       deterministic=deterministic)
+                       deterministic=deterministic, pad_mask=ext_mask)
         h = self.final_layer_norm(h)
         h = self.dropout(h, deterministic=deterministic)
         return h, joint_mask
@@ -647,7 +668,8 @@ class T5Decoder(nn.Module):
 
         cross_mask = None
         if encoder_attention_mask is not None:
-            cross_mask = expand_mask(encoder_attention_mask, h.shape[1], dt)
+            # length-collapsed (B,1,1,S); broadcasts in-kernel / in-fusion
+            cross_mask = expand_mask(encoder_attention_mask, 1, dt)
 
         new_cache = []
         for i, blk in enumerate(self.blocks):

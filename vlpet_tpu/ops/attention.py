@@ -74,8 +74,10 @@ def _compact_mask(mask_ref, L: int):
 
 
 def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                causal: bool, compact: bool, q_ref, k_ref, v_ref, mask_ref,
-                out_ref):
+                causal: bool, compact: bool, has_bias: bool,
+                q_ref, k_ref, v_ref, mask_ref, *rest):
+    bias_ref = rest[0] if has_bias else None
+    out_ref = rest[-1]
     L, S = q_ref.shape[1], k_ref.shape[1]
     allowed = _causal_allowed(L, S)[None] if causal else None
     shared_mask = None
@@ -92,6 +94,11 @@ def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         mask = shared_mask if shared_mask is not None \
             else mask_ref[:, h].astype(jnp.float32)
         s = s + mask  # broadcasts (1|TB, 1|L, S)
+        if bias_ref is not None:
+            # batch-shared per-head additive bias (T5 relative positions):
+            # loaded once per program — the per-batch (B,H,L,S) sum the XLA
+            # path would materialize never exists
+            s = s + bias_ref[0, h].astype(jnp.float32)
         if allowed is not None:
             s = jnp.where(allowed, s, jnp.float32(-1e9))
         p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
@@ -123,6 +130,7 @@ def _specs(B, L, S, inner, Hm, Bm, Lm, tb, ms):
 
 def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
                       num_heads: int, causal: bool = False,
+                      bias: Optional[Array] = None,
                       *, interpret: bool = False) -> Array:
     B, L, inner = q.shape
     S = k.shape[1]
@@ -137,18 +145,26 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
                                      tb, ms)
+    in_specs = [spec_q, spec_kv, spec_kv, spec_m]
+    args = [q, k, v, mask]
+    if bias is not None:
+        assert bias.shape == (1, num_heads, L, S), bias.shape
+        in_specs.append(pl.BlockSpec((1, num_heads, L, S),
+                                     lambda b: (0, 0, 0, 0), memory_space=ms))
+        args.append(bias)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads, head_dim, per_head, causal,
-                          compact),
+                          compact, bias is not None),
         grid=(B // tb,),
-        in_specs=[spec_q, spec_kv, spec_kv, spec_m],
+        in_specs=in_specs,
         out_specs=spec_q,
         out_shape=jax.ShapeDtypeStruct((B, L, inner), q.dtype),
         interpret=interpret,
-    )(q, k, v, mask)
+    )(*args)
 
 
-def fused_attention_reference(q, k, v, mask, num_heads, causal=False):
+def fused_attention_reference(q, k, v, mask, num_heads, causal=False,
+                              bias=None):
     B, L, inner = q.shape
     S = k.shape[1]
     hd = inner // num_heads
@@ -158,6 +174,8 @@ def fused_attention_reference(q, k, v, mask, num_heads, causal=False):
     s = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
                    preferred_element_type=jnp.float32)
     s = s + mask.astype(jnp.float32)  # (B|1, 1|H, 1|L, S) broadcasts
+    if bias is not None:
+        s = s + bias.astype(jnp.float32)
     if causal:
         s = jnp.where(_causal_allowed(L, S)[None, None], s,
                       jnp.float32(-1e9))
@@ -167,10 +185,15 @@ def fused_attention_reference(q, k, v, mask, num_heads, causal=False):
 
 
 def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                causal: bool, compact: bool, q_ref, k_ref, v_ref, mask_ref,
-                do_ref, dq_ref, dk_ref, dv_ref):
+                causal: bool, compact: bool, has_bias: bool,
+                q_ref, k_ref, v_ref, mask_ref, *rest):
     """Recomputes p in VMEM and emits dq/dk/dv — no HBM round trips for the
     (TB, L, S) intermediates."""
+    if has_bias:
+        bias_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        bias_ref = None
+        do_ref, dq_ref, dk_ref, dv_ref = rest
     L, S = q_ref.shape[1], k_ref.shape[1]
     allowed = _causal_allowed(L, S)[None] if causal else None
     shared_mask = None
@@ -189,6 +212,8 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         mask = shared_mask if shared_mask is not None \
             else mask_ref[:, h].astype(jnp.float32)
         s = s + mask
+        if bias_ref is not None:
+            s = s + bias_ref[0, h].astype(jnp.float32)
         if allowed is not None:
             s = jnp.where(allowed, s, jnp.float32(-1e9))
         p = jax.nn.softmax(s, axis=-1)
@@ -212,7 +237,7 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
 
 
 def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
-                          *, interpret=False):
+                          bias=None, *, interpret=False):
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
@@ -226,43 +251,57 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
                                      tb, ms)
+    in_specs = [spec_q, spec_kv, spec_kv, spec_m]
+    args = [q, k, v, mask]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, num_heads, L, S),
+                                     lambda b: (0, 0, 0, 0), memory_space=ms))
+        args.append(bias)
+    in_specs.append(spec_q)
+    args.append(do)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads, head_dim, per_head, causal,
-                          compact),
+                          compact, bias is not None),
         grid=(B // tb,),
-        in_specs=[spec_q, spec_kv, spec_kv, spec_m, spec_q],
+        in_specs=in_specs,
         out_specs=(spec_q, spec_kv, spec_kv),
         out_shape=(jax.ShapeDtypeStruct((B, L, inner), q.dtype),
                    jax.ShapeDtypeStruct((B, S, inner), k.dtype),
                    jax.ShapeDtypeStruct((B, S, inner), v.dtype)),
         interpret=interpret,
-    )(q, k, v, mask, do)
+    )(*args)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
 def fused_attention(q: Array, k: Array, v: Array, mask: Array,
-                    num_heads: int, causal: bool = False) -> Array:
+                    num_heads: int, causal: bool = False,
+                    bias: Optional[Array] = None) -> Array:
     """q (B, L, H·Dh) pre-scaled; k, v (B, S, H·Dh); mask additive
     (B|1, 1|H, 1|L, S) — a length-collapsed (.., 1, S) padding mask
     broadcasts inside the kernel, saving the (TB, L, S) fp32 mask load.
     ``causal`` applies the decoder triangular mask in-kernel via iota
     (offset S-L for prefix slots) — no mask tensor materializes in HBM.
-    Returns (B, L, H·Dh).
+    ``bias`` is an optional batch-shared per-head additive (1, H, L, S)
+    (T5 relative positions), kept separate from the per-batch mask so the
+    (B, H, L, S) sum never materializes. Returns (B, L, H·Dh).
 
-    NOTE: the mask is treated as non-differentiable (zero cotangent). True
-    for every PET recipe (the T5 relative bias is frozen); disable
-    use_pallas_attention when fully fine-tuning T5's relative bias."""
-    return _pallas_attention(q, k, v, mask, num_heads, causal)
+    NOTE: mask and bias are treated as non-differentiable (zero
+    cotangent). True for every PET recipe (the T5 relative bias is
+    frozen); disable use_pallas_attention when fully fine-tuning T5."""
+    return _pallas_attention(q, k, v, mask, num_heads, causal, bias)
 
 
-def _fwd(q, k, v, mask, num_heads, causal):
-    return _pallas_attention(q, k, v, mask, num_heads, causal), (q, k, v, mask)
+def _fwd(q, k, v, mask, num_heads, causal, bias):
+    return (_pallas_attention(q, k, v, mask, num_heads, causal, bias),
+            (q, k, v, mask, bias))
 
 
 def _bwd(num_heads, causal, res, do):
-    q, k, v, mask = res
-    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal)
-    return dq, dk, dv, jnp.zeros_like(mask)
+    q, k, v, mask, bias = res
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal,
+                                       bias)
+    return (dq, dk, dv, jnp.zeros_like(mask),
+            None if bias is None else jnp.zeros_like(bias))
 
 
 fused_attention.defvjp(_fwd, _bwd)
