@@ -229,6 +229,107 @@ def test_fused_attention_backward_kernel_matches_reference():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
 
 
+class TestFusedDropoutAddLN:
+    def _ref(self, h, res, gamma, beta, keep, rate, eps=1e-6):
+        hf = jnp.where(keep, h.astype(jnp.float32) / (1 - rate), 0.0) \
+            if keep is not None else h.astype(jnp.float32)
+        x = res.astype(jnp.float32) + hf
+        mu = jnp.mean(x, -1, keepdims=True)
+        var = jnp.maximum(0.0, jnp.mean(x * x, -1, keepdims=True) - mu * mu)
+        return (x - mu) * (jax.lax.rsqrt(var + eps) * gamma) + beta
+
+    def setup_method(self, _):
+        import vlpet_tpu.ops.fused_ln as FL
+        FL._INTERPRET = True
+        self.FL = FL
+
+    def teardown_method(self, _):
+        self.FL._INTERPRET = False
+
+    def _data(self, B=4, L=8, D=256):
+        rng = np.random.default_rng(0)
+        h = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+        res = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+        gamma = jnp.asarray(rng.normal(size=(D,)) * 0.2 + 1, jnp.float32)
+        beta = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+        return h, res, gamma, beta
+
+    def test_no_dropout_matches_layernorm(self):
+        h, res, gamma, beta = self._data()
+        seed = jnp.asarray([7], jnp.int32)
+        y = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, 0.0, 1e-6)
+        want = self._ref(h, res, gamma, beta, None, 0.0)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_dropout_deterministic_and_consistent(self):
+        """Same seed → same mask; mask recovered from the backward's dh
+        zeros reproduces the forward exactly; keep rate ≈ 1-rate."""
+        h, res, gamma, beta = self._data()
+        seed = jnp.asarray([123], jnp.int32)
+        rate = 0.3
+        y1 = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate, 1e-6)
+        y2 = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate, 1e-6)
+        np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
+        # recover the mask via the backward (dh == 0 exactly where dropped)
+        dy = jnp.ones_like(h)
+        dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy, rate,
+                                             1e-6, interpret=True)
+        keep = np.asarray(dh) != 0.0
+        frac = keep.mean()
+        assert abs(frac - (1 - rate)) < 0.02, frac
+        want = self._ref(h, res, gamma, beta, jnp.asarray(keep), rate)
+        np.testing.assert_allclose(np.asarray(y1), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_gradients_match_autodiff(self):
+        h, res, gamma, beta = self._data()
+        seed = jnp.asarray([5], jnp.int32)
+        rate = 0.2
+        dy = jnp.asarray(np.random.default_rng(1).normal(size=h.shape),
+                         jnp.float32)
+        dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy, rate,
+                                             1e-6, interpret=True)
+        keep = jnp.asarray(np.asarray(dh) != 0.0)
+        # autodiff of the dense reference given the SAME mask
+        f = lambda h, res, g, b: self._ref(h, res, g, b, keep, rate)
+        _, vjp = jax.vjp(f, h, res, gamma, beta)
+        rh, rres, rg, rb = vjp(dy)
+        np.testing.assert_allclose(np.asarray(dres), np.asarray(rres),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(rh),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(rg),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
+                                   rtol=1e-3, atol=1e-3)
+
+    def test_module_plain_path_matches_dropout_plus_flax_ln(self):
+        """ResidualDropoutLayerNorm's fallback path must reproduce
+        nn.Dropout + nn.LayerNorm numerics exactly (the oracle/HF parity
+        tests run through it)."""
+        import flax.linen as fnn
+        from vlpet_tpu.models.bart import ResidualDropoutLayerNorm
+
+        rng = np.random.default_rng(2)
+        h = jnp.asarray(rng.normal(size=(2, 5, 64)), jnp.float32)
+        res = jnp.asarray(rng.normal(size=(2, 5, 64)), jnp.float32)
+
+        class Ref(fnn.Module):
+            @fnn.compact
+            def __call__(self, h, res):
+                return fnn.LayerNorm(name="ln")(res + h)
+
+        ref = Ref()
+        p_ref = ref.init(jax.random.PRNGKey(0), h, res)["params"]
+        mod = ResidualDropoutLayerNorm(rate=0.1, name="ln")
+        p = {"ln": p_ref["ln"]}
+        out = mod.apply({"params": p_ref["ln"]}, h, res, True)
+        want = ref.apply({"params": p_ref}, h, res)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want),
+                                   rtol=1e-6, atol=1e-6)
+
+
 def test_fused_linear_ce_matches_reference():
     """Fused linear+CE (ops/fused_ce.py): forward + dx vs the dense
     log-softmax reference, including -100 ignore and the padded final

@@ -95,6 +95,49 @@ def causal_mask(tgt_len: int, dtype, offset: int = 0) -> Array:
     return jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
 
 
+class ResidualDropoutLayerNorm(nn.Module):
+    """LayerNorm(residual + dropout(h)) — the post-LN sublayer epilogue.
+
+    Params are ``scale``/``bias`` under this module's name, so the tree is
+    identical to the nn.LayerNorm it replaces (freezing/import parity).
+    On TPU in training the whole chain runs as one Pallas kernel
+    (ops/fused_ln.py: no rng tensor, no saved mask, no extra copies);
+    otherwise the flax-equivalent ops run inline (bit-matching
+    nn.Dropout + nn.LayerNorm with fp32 fast-variance stats)."""
+
+    rate: float
+    dtype: Any = jnp.float32
+    epsilon: float = 1e-6
+
+    @nn.compact
+    def __call__(self, h: Array, residual: Array,
+                 deterministic: bool = True) -> Array:
+        D = h.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (D,))
+        bias = self.param("bias", nn.initializers.zeros, (D,))
+        dropping = self.rate > 0.0 and not deterministic
+        if (dropping and h.ndim == 3
+                and jax.default_backend() not in ("cpu",)):
+            from vlpet_tpu.ops.fused_ln import fused_dropout_add_ln
+
+            seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                      jnp.iinfo(jnp.int32).max,
+                                      dtype=jnp.int32)
+            return fused_dropout_add_ln(h, residual, scale, bias, seed,
+                                        float(self.rate), self.epsilon)
+        if dropping:
+            keep = jax.random.bernoulli(self.make_rng("dropout"),
+                                        1.0 - self.rate, h.shape)
+            h = jax.lax.select(keep, h / (1.0 - self.rate),
+                               jnp.zeros_like(h))
+        x = (residual + h).astype(jnp.float32)
+        mu = jnp.mean(x, axis=-1, keepdims=True)
+        var = jnp.maximum(0.0, jnp.mean(x * x, axis=-1, keepdims=True)
+                          - mu * mu)
+        y = (x - mu) * (jax.lax.rsqrt(var + self.epsilon) * scale) + bias
+        return y.astype(self.dtype)
+
+
 # ---------------------------------------------------------------------------
 # Attention
 # ---------------------------------------------------------------------------
@@ -401,7 +444,6 @@ class BartEncoderLayer(nn.Module):
         d = b.d_model
         init_std = b.init_std
         dt = self._dtype
-        dropout = nn.Dropout(rate=b.dropout)
         act_dropout = nn.Dropout(rate=b.activation_dropout)
         act = get_activation(b.activation_function)
 
@@ -506,8 +548,9 @@ class BartEncoderLayer(nn.Module):
             hidden_states, ctx, attention_mask=attention_mask,
             prefix_kv=prefix_kv, deterministic=deterministic)
         h = hooks(h, residual, "attn", block.self_attention if block else None)
-        h = dropout(h, deterministic=deterministic)
-        hidden_states = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")(residual + h)
+        hidden_states = ResidualDropoutLayerNorm(
+            rate=b.dropout, dtype=dt, name="self_attn_layer_norm")(
+            h, residual, deterministic)
 
         # --- feed-forward sublayer -------------------------------------------
         residual = hidden_states
@@ -528,8 +571,9 @@ class BartEncoderLayer(nn.Module):
             h = act_dropout(h, deterministic=deterministic)
             h = fc2(h)
         h = hooks(h, residual, "ff", block.feed_forward if block else None)
-        h = dropout(h, deterministic=deterministic)
-        hidden_states = nn.LayerNorm(dtype=dt, name="final_layer_norm")(residual + h)
+        hidden_states = ResidualDropoutLayerNorm(
+            rate=b.dropout, dtype=dt, name="final_layer_norm")(
+            h, residual, deterministic)
 
         if dt != jnp.float32:
             # float() keeps the bound weakly-typed: jnp.finfo's numpy scalar
@@ -574,10 +618,12 @@ class BartDecoderLayer(nn.Module):
         self.encoder_attn = BartAttention(c, d, b.decoder_attention_heads,
                                           b.attention_dropout, is_decoder=True,
                                           role="cross", name="encoder_attn")
-        self.self_attn_layer_norm = nn.LayerNorm(dtype=dt, name="self_attn_layer_norm")
-        self.encoder_attn_layer_norm = nn.LayerNorm(dtype=dt,
-                                                    name="encoder_attn_layer_norm")
-        self.final_layer_norm = nn.LayerNorm(dtype=dt, name="final_layer_norm")
+        self.self_attn_layer_norm = ResidualDropoutLayerNorm(
+            rate=b.dropout, dtype=dt, name="self_attn_layer_norm")
+        self.encoder_attn_layer_norm = ResidualDropoutLayerNorm(
+            rate=b.dropout, dtype=dt, name="encoder_attn_layer_norm")
+        self.final_layer_norm = ResidualDropoutLayerNorm(
+            rate=b.dropout, dtype=dt, name="final_layer_norm")
         self.fc1 = TaskDense(d, b.decoder_ffn_dim, init_std=init_std, dtype=dt,
                              name="fc1")
         self.fc2 = TaskDense(b.decoder_ffn_dim, d, init_std=init_std, dtype=dt,
@@ -676,8 +722,8 @@ class BartDecoderLayer(nn.Module):
             h = h + self.self_attn_adapter_multihead(h)
         if self.adapter_hypernet is not None and block is not None:
             h = self.adapter_hypernet(h, block.self_attention)
-        h = self.dropout(h, deterministic=deterministic)
-        hidden_states = self.self_attn_layer_norm(residual + h)
+        hidden_states = self.self_attn_layer_norm(h, residual,
+                                                  deterministic)
 
         # --- cross-attention ----------------------------------------------------
         if encoder_hidden_states is not None or cross_kv is not None:
@@ -700,8 +746,8 @@ class BartDecoderLayer(nn.Module):
             if (self.adapter_hypernet is not None and block is not None
                     and p.add_adapter_cross_attn):
                 h = self.adapter_hypernet(h, block.cross_attention)
-            h = self.dropout(h, deterministic=deterministic)
-            hidden_states = self.encoder_attn_layer_norm(residual + h)
+            hidden_states = self.encoder_attn_layer_norm(h, residual,
+                                                         deterministic)
 
         # --- feed-forward ----------------------------------------------------------
         residual = hidden_states
@@ -727,8 +773,7 @@ class BartDecoderLayer(nn.Module):
             h = h + self.ff_adapter_multihead(h)
         if self.adapter_hypernet is not None and block is not None:
             h = self.adapter_hypernet(h, block.feed_forward)
-        h = self.dropout(h, deterministic=deterministic)
-        hidden_states = self.final_layer_norm(residual + h)
+        hidden_states = self.final_layer_norm(h, residual, deterministic)
         return hidden_states, new_cache
 
     def compute_cross_kv(self, encoder_hidden_states: Array, ctx: PetContext):

@@ -1,0 +1,198 @@
+"""Fused residual dropout + add + LayerNorm (Pallas TPU), fwd + bwd.
+
+The post-LN transformer pattern ``LN(residual + dropout(h))`` appears 30
+times per flagship step (2×6 encoder + 3×6 decoder sublayers). XLA's
+lowering materializes, per site: the u32 rng tensor (rng-bit-generator,
+~0.5 ms each at encoder shapes), the bool keep-mask saved for the backward,
+an extra bf16 copy of the normalized input, and f32 mean/var — ~6 ms/step
+of HBM-bound loop fusions + 2 ms of rng (hlo_stats, PERF.md).
+
+This kernel reads h and residual once, computes the dropout mask from a
+counter-based hash (murmur3 finalizer over the element index — regenerated
+in the backward from the same seed, so NOTHING is saved except what autodiff
+already keeps alive), normalizes in fp32 in-register, and writes only y.
+The backward recomputes mask/mean/rstd and emits dh, dresidual, dgamma,
+dbeta in one pass (dgamma/dbeta accumulate across the sequential grid).
+
+Layout: h, residual (B, L, D); gamma/beta (D,) fp32 (flax param layout).
+Grid tiles the batch dim; (L, D) ride whole in each block — legal tiles for
+any L (8-multiple or full-dim) and D a lane multiple.
+
+Reference behavior: dropout-then-post-LN chain of
+my_transformers/modeling_bart.py:1122-1388 (flax: nn.Dropout + nn.LayerNorm
+with force_float32_reductions + fast variance).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+Array = jax.Array
+
+# tests monkeypatch to run in interpreter mode on CPU
+_INTERPRET = False
+
+
+def _block_rows(B: int, cap: int = 16) -> int:
+    for tb in range(min(cap, B), 0, -1):
+        if B % tb == 0:
+            return tb
+    return 1
+
+
+def _hash_keep(shape, row_base, seed, rate: float):
+    """Deterministic per-element keep mask: murmur3 finalizer over the
+    global element index (works in interpret mode, unlike the TPU PRNG
+    primitives). P(keep) = 1 - rate on 31 bits."""
+    tb, L, D = shape
+    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
+    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    k = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
+    idx = ((row_base.astype(jnp.uint32) + i) * jnp.uint32(L) + j) \
+        * jnp.uint32(D) + k
+    z = idx * jnp.uint32(2654435761) + seed.astype(jnp.uint32)
+    z = z ^ (z >> 16)
+    z = z * jnp.uint32(0x7FEB352D)
+    z = z ^ (z >> 15)
+    z = z * jnp.uint32(0x846CA68B)
+    z = z ^ (z >> 16)
+    thr = jnp.uint32(int(rate * (1 << 31)))
+    return (z & jnp.uint32(0x7FFFFFFF)) >= thr
+
+
+def _stats(x, eps: float):
+    mu = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.maximum(0.0, jnp.mean(x * x, axis=-1, keepdims=True) - mu * mu)
+    return mu, jax.lax.rsqrt(var + eps)
+
+
+def _fwd_kernel(rate: float, eps: float, seed_ref, h_ref, res_ref, g_ref,
+                b_ref, y_ref):
+    tb = h_ref.shape[0]
+    row_base = pl.program_id(0) * tb
+    hf = h_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _hash_keep(h_ref.shape, row_base, seed_ref[0], rate)
+        hf = jnp.where(keep, hf * (1.0 / (1.0 - rate)), 0.0)
+    x = res_ref[...].astype(jnp.float32) + hf
+    mu, rstd = _stats(x, eps)
+    mul = rstd * g_ref[...].astype(jnp.float32)
+    y = (x - mu) * mul + b_ref[...].astype(jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _bwd_kernel(rate: float, eps: float, seed_ref, h_ref, res_ref, g_ref,
+                dy_ref, dh_ref, dres_ref, dg_ref, db_ref):
+    tb = h_ref.shape[0]
+    pid = pl.program_id(0)
+    row_base = pid * tb
+    hf = h_ref[...].astype(jnp.float32)
+    keep = None
+    if rate > 0.0:
+        keep = _hash_keep(h_ref.shape, row_base, seed_ref[0], rate)
+        hf = jnp.where(keep, hf * (1.0 / (1.0 - rate)), 0.0)
+    x = res_ref[...].astype(jnp.float32) + hf
+    mu, rstd = _stats(x, eps)
+    xhat = (x - mu) * rstd
+    g = g_ref[...].astype(jnp.float32)
+    dy = dy_ref[...].astype(jnp.float32)
+    dxhat = dy * g
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dres_ref[...] = dx.astype(dres_ref.dtype)
+    if keep is not None:
+        dh = jnp.where(keep, dx * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        dh = dx
+    dh_ref[...] = dh.astype(dh_ref.dtype)
+    pg = jnp.sum(dy * xhat, axis=(0, 1))[None, None]  # (1, 1, D)
+    pb = jnp.sum(dy, axis=(0, 1))[None, None]
+
+    @pl.when(pid == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dg_ref[...] += pg
+    db_ref[...] += pb
+
+
+def _specs(B, L, D, tb, ms):
+    spec_row = pl.BlockSpec((tb, L, D), lambda b: (b, 0, 0), memory_space=ms)
+    spec_vec = pl.BlockSpec((1, 1, D), lambda b: (0, 0, 0), memory_space=ms)
+    spec_seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return spec_row, spec_vec, spec_seed
+
+
+def _fwd_call(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
+    B, L, D = h.shape
+    tb = _block_rows(B)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, rate, eps),
+        grid=(B // tb,),
+        in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_vec],
+        out_specs=spec_row,
+        out_shape=jax.ShapeDtypeStruct((B, L, D), h.dtype),
+        interpret=interpret,
+    )(seed, h, res, gamma.reshape(1, 1, D), beta.reshape(1, 1, D))
+
+
+def _bwd_call(h, res, gamma, seed, dy, rate, eps, *, interpret=False):
+    B, L, D = h.shape
+    tb = _block_rows(B)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
+    dh, dres, dg, db = pl.pallas_call(
+        functools.partial(_bwd_kernel, rate, eps),
+        grid=(B // tb,),
+        in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_row],
+        out_specs=(spec_row, spec_row, spec_vec, spec_vec),
+        out_shape=(jax.ShapeDtypeStruct((B, L, D), h.dtype),
+                   jax.ShapeDtypeStruct((B, L, D), res.dtype),
+                   jax.ShapeDtypeStruct((1, 1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1, D), jnp.float32)),
+        interpret=interpret,
+    )(seed, h, res, gamma.reshape(1, 1, D), dy)
+    return dh, dres, dg.reshape(D), db.reshape(D)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_dropout_add_ln(h: Array, res: Array, gamma: Array, beta: Array,
+                         seed: Array, rate: float, eps: float) -> Array:
+    """y = LayerNorm(res + dropout(h; rate)) with gamma/beta, fp32 stats.
+
+    ``seed`` (1,) int32 determines the dropout mask (regenerated in the
+    backward — no mask tensor is ever stored). gamma/beta receive true
+    gradients (layer norms are trainable in the published recipes)."""
+    return _fwd_call(h, res, gamma, beta, seed, rate, eps,
+                     interpret=_INTERPRET)
+
+
+def _vjp_fwd(h, res, gamma, beta, seed, rate, eps):
+    y = _fwd_call(h, res, gamma, beta, seed, rate, eps, interpret=_INTERPRET)
+    return y, (h, res, gamma, seed)
+
+
+def _vjp_bwd(rate, eps, saved, dy):
+    h, res, gamma, seed = saved
+    dh, dres, dg, db = _bwd_call(h, res, gamma, seed, dy, rate, eps,
+                                 interpret=_INTERPRET)
+    return dh, dres, dg, db, None
+
+
+fused_dropout_add_ln.defvjp(_vjp_fwd, _vjp_bwd)
+
+
+def ln_supported(cfg) -> bool:
+    """Kernel applicability: TPU backend + bf16 compute path (the kernel is
+    a training-path optimization; CPU keeps the flax-equivalent chain)."""
+    return jax.default_backend() not in ("cpu",)
