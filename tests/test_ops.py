@@ -486,3 +486,46 @@ def test_fused_ffn_matches_reference():
                                        rtol=2e-4, atol=2e-4)
     finally:
         F._INTERPRET = False
+
+
+def test_fused_ffn_activation_dropout():
+    """Fused activation dropout: the kernel's mask is the documented hash
+    of the global element index, so an outside reference computes the SAME
+    mask and must match exactly (fwd + dx). Covers padded row tails."""
+    import vlpet_tpu.ops.ffn as F
+    from vlpet_tpu.ops.hashdrop import keep_mask
+
+    F._INTERPRET = True
+    try:
+        rng = np.random.default_rng(1)
+        N, D, Fd = 19, 16, 32
+        rate = 0.4
+        seed = jnp.asarray([99], jnp.int32)
+        x = jnp.asarray(rng.normal(size=(N, D)) * 0.5, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(D, Fd)) * 0.3, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(Fd,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(Fd, D)) * 0.3, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+        # the kernel pads N to the row tile; the mask is indexed on PADDED
+        # rows, so compute the reference mask at the padded size and slice
+        tb = F._row_tile(N, D, Fd)
+        Np = -(-N // tb) * tb
+        mask = keep_mask((Np, Fd), jnp.uint32(0), seed[0], rate)[:N]
+
+        def ref(x):
+            h = jax.nn.relu(x @ w1 + b1)
+            h = jnp.where(mask, h / (1 - rate), 0.0)
+            return h @ w2 + b2
+
+        got = F.fused_ffn(x, w1, b1, w2, b2, "relu", rate, seed)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)),
+                                   rtol=2e-5, atol=2e-5)
+        keep_frac = float(mask.mean())
+        assert abs(keep_frac - (1 - rate)) < 0.08
+        g1 = jax.grad(lambda v: F.fused_ffn(v, w1, b1, w2, b2, "relu", rate,
+                                            seed).sum())(x)
+        g2 = jax.grad(lambda v: ref(v).sum())(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
+                                   rtol=2e-4, atol=2e-4)
+    finally:
+        F._INTERPRET = False

@@ -563,8 +563,14 @@ class BartEncoderLayer(nn.Module):
             # hidden never touches HBM, backward recomputes fc1 (ops/ffn.py)
             k1, b1 = fc1.kb()
             k2, b2 = fc2.kb()
+            rate = 0.0 if deterministic else b.activation_dropout
+            seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                    if rate > 0.0 else None)
             h = fused_ffn(hidden_states.reshape(-1, d), k1, b1, k2, b2,
-                          b.activation_function).reshape(hidden_states.shape)
+                          b.activation_function, rate,
+                          seed).reshape(hidden_states.shape)
         else:
             h = fc1(hidden_states)
             h = act(h)
@@ -756,8 +762,14 @@ class BartDecoderLayer(nn.Module):
             k1, b1 = self.fc1.kb()
             k2, b2 = self.fc2.kb()
             d = b.d_model
+            rate = 0.0 if deterministic else b.activation_dropout
+            seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                    if rate > 0.0 else None)
             h = fused_ffn(hidden_states.reshape(-1, d), k1, b1, k2, b2,
-                          b.activation_function).reshape(hidden_states.shape)
+                          b.activation_function, rate,
+                          seed).reshape(hidden_states.shape)
         else:
             h = act(self.fc1(hidden_states))
             if self.decoder_ff_ia3_mod is not None:

@@ -48,6 +48,7 @@ from vlpet_tpu.pet.modules import (
     IA3Vector,
     MultiheadDownAdapter,
     PetContext,
+    TaskDense,
     get_activation,
     make_shared_phm_W,
     normal_init,
@@ -362,9 +363,11 @@ class T5Block(nn.Module):
                                                     name="cross_attn_layer_norm")
         self.ff_layer_norm = nn.RMSNorm(epsilon=b.layer_norm_epsilon, dtype=dt,
                                         name="ff_layer_norm")
-        mk = lambda name, i, o, std: nn.Dense(o, use_bias=False,
-                                              kernel_init=normal_init(std),
-                                              dtype=dt, name=name)
+        # TaskDense (shared) has the same 'kernel' param layout as nn.Dense
+        # and exposes .kb() so the fused-FFN kernel can read the weights
+        mk = lambda name, i, o, std: TaskDense(
+            i, o, use_bias=False, kernel_init=normal_init(std), dtype=dt,
+            name=name)
         if b.feed_forward_proj == "gated-gelu":
             self.wi_0 = mk("wi_0", b.d_model, b.d_ff, f * b.d_model ** -0.5)
             self.wi_1 = mk("wi_1", b.d_model, b.d_ff, f * b.d_model ** -0.5)
@@ -400,6 +403,24 @@ class T5Block(nn.Module):
 
     def _ff(self, x: Array, deterministic: bool) -> Array:
         b: T5Config = self.cfg.backbone
+        if b.feed_forward_proj != "gated-gelu" and self.cfg.use_fused_ffn:
+            from vlpet_tpu.ops.ffn import ffn_supported, fused_ffn
+
+            if ffn_supported(self.cfg, "relu"):
+                # Pallas fused wi→relu→dropout→wo: the (·, d_ff) hidden and
+                # its dropout mask never touch HBM (ops/ffn.py)
+                k1, _ = self.wi.kb()
+                k2, _ = self.wo.kb()
+                d, F = b.d_model, b.d_ff
+                rate = 0.0 if deterministic else b.dropout_rate
+                seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                           jnp.iinfo(jnp.int32).max,
+                                           dtype=jnp.int32)
+                        if rate > 0.0 else None)
+                zf = jnp.zeros((F,), jnp.float32)
+                zd = jnp.zeros((d,), jnp.float32)
+                return fused_ffn(x.reshape(-1, d), k1, zf, k2, zd, "relu",
+                                 rate, seed).reshape(x.shape)
         if b.feed_forward_proj == "gated-gelu":
             h = get_activation("gelu_new")(self.wi_0(x)) * self.wi_1(x)
         else:

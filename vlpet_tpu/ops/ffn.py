@@ -26,11 +26,14 @@ from __future__ import annotations
 
 import functools
 import math
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+
+from vlpet_tpu.ops.hashdrop import keep_mask
 
 Array = jax.Array
 
@@ -93,22 +96,41 @@ def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0) -> int:
     return 8
 
 
-def _fwd_kernel(act: str, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref):
+def _fwd_kernel(act: str, rate: float, *refs):
+    if rate > 0.0:
+        seed_ref, x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref = refs
+    else:
+        x_ref, w1_ref, b1_ref, w2_ref, b2_ref, y_ref = refs
     h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    h = _act(h + b1_ref[...].astype(jnp.float32), act).astype(x_ref.dtype)
+    h = _act(h + b1_ref[...].astype(jnp.float32), act)
+    if rate > 0.0:
+        # activation dropout fused in; the mask is a hash of the global
+        # element index (ops/hashdrop.py) — regenerated in the backward
+        row_base = pl.program_id(0) * x_ref.shape[0]
+        keep = keep_mask(h.shape, row_base, seed_ref[0], rate)
+        h = jnp.where(keep, h * (1.0 / (1.0 - rate)), 0.0)
+    h = h.astype(x_ref.dtype)
     y = jax.lax.dot_general(h, w2_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     y_ref[...] = (y + b2_ref[...].astype(jnp.float32)).astype(y_ref.dtype)
 
 
-def _bwd_kernel(act: str, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref):
+def _bwd_kernel(act: str, rate: float, *refs):
+    if rate > 0.0:
+        seed_ref, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref = refs
+    else:
+        x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref = refs
     # recompute fc1 (one extra MXU pass — no residual reads)
     h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
     dh = jax.lax.dot_general(dy_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        row_base = pl.program_id(0) * x_ref.shape[0]
+        keep = keep_mask(dh.shape, row_base, seed_ref[0], rate)
+        dh = jnp.where(keep, dh * (1.0 / (1.0 - rate)), 0.0)
     ds = (dh * _act_grad(h, act)).astype(x_ref.dtype)
     dx = jax.lax.dot_general(ds, w1_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
@@ -124,7 +146,8 @@ def _pad_rows(x: Array, tb: int):
     return jnp.pad(x, ((0, pad), (0, 0))), n
 
 
-def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim):
+def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim,
+         rate: float = 0.0, seed=None):
     """row_inputs are (N, ·) tensors sliced per grid row-tile; full_inputs
     (weights/biases) live whole in VMEM across the sequential grid.
 
@@ -148,53 +171,60 @@ def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim):
     out_spec = pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=ms)
     full_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda i: (0,) * nd)(t.ndim),
                                memory_space=ms) for t in full_inputs]
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
     y = pl.pallas_call(
-        functools.partial(kernel, act),
+        functools.partial(kernel, act, rate),
         grid=(N // tb,),
-        in_specs=row_specs + full_specs,
+        in_specs=pre_specs + row_specs + full_specs,
         out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((N, out_dim), row_inputs[0].dtype),
         interpret=_INTERPRET,
-    )(*padded, *full_inputs)
+    )(*pre_args, *padded, *full_inputs)
     return y[:n0] if N != n0 else y
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_ffn(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
-              act: str = "gelu") -> Array:
-    """y = act(x @ w1 + b1) @ w2 + b2 with frozen w/b (zero cotangents).
+              act: str = "gelu", rate: float = 0.0,
+              seed: Optional[Array] = None) -> Array:
+    """y = drop(act(x @ w1 + b1); rate) @ w2 + b2 with frozen w/b (zero
+    cotangents).
 
-    x (N, D) bf16; w1 (D, F); b1 (F,); w2 (F, D); b2 (D,)."""
+    x (N, D) bf16; w1 (D, F); b1 (F,); w2 (F, D); b2 (D,). ``rate`` > 0
+    fuses activation dropout in (seed (1,) int32 drives the hash mask,
+    regenerated in the backward — ops/hashdrop.py)."""
     w1 = w1.astype(x.dtype)
     w2 = w2.astype(x.dtype)
     return _run(_fwd_kernel, act, [x], [w1, b1, w2, b2],
-                w1.shape[1], w2.shape[1])
+                w1.shape[1], w2.shape[1], rate, seed)
 
 
-def _fwd(x, w1, b1, w2, b2, act):
-    y = fused_ffn(x, w1, b1, w2, b2, act)
-    return y, (x, w1, b1, w2, b2)
+def _fwd(x, w1, b1, w2, b2, act, rate, seed):
+    y = fused_ffn(x, w1, b1, w2, b2, act, rate, seed)
+    return y, (x, w1, b1, w2, b2, seed)
 
 
-def _bwd(act, res, dy):
-    x, w1, b1, w2, b2 = res
+def _bwd(act, rate, res, dy):
+    x, w1, b1, w2, b2, seed = res
     dx = _run(_bwd_kernel, act, [x, dy.astype(x.dtype)],
               [w1.astype(x.dtype), b1, w2.astype(x.dtype)],
-              w1.shape[1], w1.shape[0])
+              w1.shape[1], w1.shape[0], rate, seed)
     return (dx, jnp.zeros_like(w1), jnp.zeros_like(b1), jnp.zeros_like(w2),
-            jnp.zeros_like(b2))
+            jnp.zeros_like(b2), None)
 
 
 fused_ffn.defvjp(_fwd, _bwd)
 
 
 def ffn_supported(cfg, act: str) -> bool:
-    """Kernel applicability: TPU backend, bf16 compute, zero activation
-    dropout, supported activation, FROZEN language model (the custom_vjp
-    returns zero w/b cotangents)."""
+    """Kernel applicability: TPU backend, bf16 compute, supported
+    activation, FROZEN language model (the custom_vjp returns zero w/b
+    cotangents). Activation dropout is fused in when configured."""
     p = cfg.pet
     return (jax.default_backend() not in ("cpu",)
             and cfg.dtype == "bfloat16"
             and act in ACTS
-            and cfg.backbone.activation_dropout == 0.0
             and not p.unfreeze_language_model)

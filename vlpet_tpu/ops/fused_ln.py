@@ -46,24 +46,11 @@ def _block_rows(B: int, cap: int = 16) -> int:
     return 1
 
 
+from vlpet_tpu.ops.hashdrop import keep_mask as _hash_keep_nd
+
+
 def _hash_keep(shape, row_base, seed, rate: float):
-    """Deterministic per-element keep mask: murmur3 finalizer over the
-    global element index (works in interpret mode, unlike the TPU PRNG
-    primitives). P(keep) = 1 - rate on 31 bits."""
-    tb, L, D = shape
-    i = jax.lax.broadcasted_iota(jnp.uint32, shape, 0)
-    j = jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
-    k = jax.lax.broadcasted_iota(jnp.uint32, shape, 2)
-    idx = ((row_base.astype(jnp.uint32) + i) * jnp.uint32(L) + j) \
-        * jnp.uint32(D) + k
-    z = idx * jnp.uint32(2654435761) + seed.astype(jnp.uint32)
-    z = z ^ (z >> 16)
-    z = z * jnp.uint32(0x7FEB352D)
-    z = z ^ (z >> 15)
-    z = z * jnp.uint32(0x846CA68B)
-    z = z ^ (z >> 16)
-    thr = jnp.uint32(int(rate * (1 << 31)))
-    return (z & jnp.uint32(0x7FFFFFFF)) >= thr
+    return _hash_keep_nd(shape, row_base, seed, rate)
 
 
 def _stats(x, eps: float):
