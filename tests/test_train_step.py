@@ -131,3 +131,63 @@ def test_data_parallel_matches_single_device():
                     jax.tree_util.tree_leaves(s3.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
+
+
+def test_classifier_head_trains_and_predicts():
+    """--classifier: BCE over dense answer-score targets with a single
+    start-token decode (reference: vqa_model.py:34-56), loss decreases,
+    and predict_classifier returns label2ans answers."""
+    import dataclasses
+
+    from vlpet_tpu.data.datasets import (DatasetConfig, Loader, TaskDataset,
+                                         synthetic_task_data)
+    from vlpet_tpu.data.tokenization import WhitespaceTokenizer
+    from vlpet_tpu.train.trainer import Trainer
+
+    cfg, _, _, _ = setup_tiny()
+    ans2label = {"yes": 0, "no": 1, "2": 2}
+    cfg = dataclasses.replace(cfg, classifier=True,
+                              num_answers=len(ans2label))
+    tok = WhitespaceTokenizer(vocab_size=60)
+    examples, source = synthetic_task_data("vqa", 8, n_boxes=4, feat_dim=16)
+    for ex in examples:  # force labels into the topk vocab
+        ex["label"] = {"yes": 1.0}
+    ds = TaskDataset(DatasetConfig(task="vqa", max_text_length=8,
+                                   gen_max_length=4, n_boxes=4, feat_dim=16,
+                                   classifier=True, ans2label=ans2label),
+                     examples, source, tok)
+    loader = Loader(ds, 4)
+    trainer = Trainer(cfg, TASKS, lr=1e-2, total_steps=10, tokenizer=tok,
+                      verbose=False)
+    batch = next(iter(loader))
+    assert batch["target"].shape == (4, 3)
+    losses = [float(trainer.do_train_step(batch)["loss"]) for _ in range(6)]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+    res = trainer.predict_classifier(loader,
+                                     {v: k for k, v in ans2label.items()})
+    assert len(res["quesid2ans"]) == 8
+    assert set(res["quesid2ans"].values()) <= {"yes", "no", "2"}
+
+
+def test_raw_label_answer_sampling():
+    """--raw_label: targets sampled uniformly from the 10 raw annotator
+    answers with optional normalization (reference:
+    vqa_clip_data.py:235-265)."""
+    from vlpet_tpu.data.datasets import DatasetConfig, TaskDataset, synthetic_task_data
+    from vlpet_tpu.data.tokenization import WhitespaceTokenizer
+
+    tok = WhitespaceTokenizer(vocab_size=60)
+    examples, source = synthetic_task_data("vqa", 4, n_boxes=4, feat_dim=16)
+    for ex in examples:
+        ex["answers"] = [{"answer": "A Net"}, {"answer": "mesh"}]
+    ds = TaskDataset(DatasetConfig(task="vqa", max_text_length=8,
+                                   gen_max_length=4, n_boxes=4, feat_dim=16,
+                                   raw_label=True, answer_normalize=True),
+                     examples, source, tok)
+    seen = {ds[i]["answer"] for i in range(4) for _ in range(4)}
+    # normalize_answer lowercases and strips articles ("A Net" -> "net")
+    assert seen <= {"net", "mesh"}
+    item = ds[0]
+    assert item["score"] == 1.0
+    assert item["all_answers"] == ["A Net", "mesh"]

@@ -85,6 +85,19 @@ def feature_source_for(args, task: str):
                                          args.feature_type))
 
 
+def load_ans2label(args) -> Dict[str, int]:
+    """Topk answer vocabulary for the classifier head (reference:
+    vqa_data.py trainval_ans2label.json). With no data_root (synthetic
+    runs) a small fixed vocabulary is used."""
+    if args.data_root:
+        import json
+
+        path = os.path.join(args.data_root, "trainval_ans2label.json")
+        with open(path) as f:
+            return json.load(f)
+    return {a: i for i, a in enumerate(["yes", "no", "0", "1", "2", "3"])}
+
+
 def make_evaluator(task: str, examples: List[Dict]):
     if task == "vqa":
         id2datum = {e.get("question_id"): e for e in examples}
@@ -112,6 +125,11 @@ def build_loaders(args, tasks: Tuple[str, ...], tokenizer, split: str,
             gen_max_length=GEN_LEN.get(task, args.gen_max_length),
             n_boxes=args.n_boxes, feat_dim=int(args.feat_dim),
             prompt=TASK_PROMPTS.get(task, "") if args.use_tasks_prompts else "",
+            post_prompt=args.post_prompt,
+            raw_label=args.raw_label, answer_normalize=args.answer_normalize,
+            classifier=bool(args.classifier and task == "vqa"),
+            ans2label=(load_ans2label(args) if args.classifier
+                       and task == "vqa" else None),
             use_vision=args.use_vision and not args.no_vis)
         if args.data_root:
             source = feature_source_for(args, task)
@@ -150,6 +168,11 @@ def main(argv=None):
     tasks = tuple(t for t in args.tasks.split(",") if t) or ("vqa",)
     tokenizer, _ = get_tokenizer(args.backbone, args.tokenizer_path)
     cfg = build_model_config(args, tasks)
+    if args.classifier:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg,
+                                  num_answers=len(load_ans2label(args)))
 
     train_loaders = build_loaders(args, tasks, tokenizer, args.train, "train")
     val_loaders = build_loaders(args, tasks, tokenizer, args.valid, "val")

@@ -36,10 +36,15 @@ class DatasetConfig:
     n_boxes: int = 36
     feat_dim: int = 2048
     prompt: str = ""
+    post_prompt: str = ""  # appended after the sentence (param.py:215)
     use_vision: bool = True
     pad_to_max: bool = True  # fixed shapes for jit stability
     raw_label: bool = False
     answer_normalize: bool = False
+    # classifier head: dense score targets over the topk answer vocabulary
+    # (reference: vqa_clip_data.py:229-233, vqa_model.py classifier)
+    classifier: bool = False
+    ans2label: Optional[Dict[str, int]] = None
 
 
 class TaskDataset:
@@ -98,12 +103,41 @@ class TaskDataset:
 
         sent = d.get("sent") or d.get("question")
         out["sent"] = sent
-        out["input_ids"] = self._encode(f"{cfg.prompt}{sent}",
+        out["input_ids"] = self._encode(f"{cfg.prompt}{sent}{cfg.post_prompt}",
                                         cfg.max_text_length)
         out["question_id"] = d.get("question_id", d.get("uid", idx))
+        if "is_topk_optimal" in d:
+            out["is_topk_optimal"] = d["is_topk_optimal"]
 
         # targets
-        if cfg.task == "vqa" and "label" in d and d["label"]:
+        if cfg.task == "vqa" and cfg.classifier and "label" in d:
+            # dense score vector over the topk answer vocabulary
+            # (reference: vqa_clip_data.py:229-233)
+            assert cfg.ans2label is not None, "classifier needs ans2label"
+            target = np.zeros(len(cfg.ans2label), np.float32)
+            for ans, score in (d.get("label") or {}).items():
+                if ans in cfg.ans2label:
+                    target[cfg.ans2label[ans]] = score
+            out["target"] = target
+            out["answer"] = (max(d["label"].items(), key=lambda kv: kv[1])[0]
+                             if d.get("label") else "")
+        elif cfg.task == "vqa" and cfg.raw_label and "answers" in d:
+            # sample uniformly from the 10 raw annotator answers
+            # (reference: vqa_clip_data.py:235-265)
+            answers = d["answers"]
+            answer = answers[int(self.rng.integers(len(answers)))]
+            if isinstance(answer, dict):
+                answer = answer["answer"]
+            if cfg.answer_normalize:
+                from vlpet_tpu.evalsuite.vqa import normalize_answer
+
+                answer = normalize_answer(answer)
+            out["answer"] = answer
+            out["score"] = float(len(answers) > 0)
+            out["all_answers"] = [a["answer"] if isinstance(a, dict) else a
+                                  for a in answers]
+            out["target_ids"] = self._encode(answer, cfg.gen_max_length)
+        elif cfg.task == "vqa" and "label" in d and d["label"]:
             answers, scores = zip(*d["label"].items())
             ssum = float(sum(scores))
             if ssum == 0:
@@ -167,6 +201,8 @@ class TaskDataset:
             if "img_order_ids" in batch[0]:
                 out["img_order_ids"] = np.stack([e["img_order_ids"] for e in batch])
                 out["obj_order_ids"] = np.stack([e["obj_order_ids"] for e in batch])
+        if "target" in batch[0]:  # classifier dense score targets
+            out["target"] = np.stack([e["target"] for e in batch])
         if "score" in batch[0]:
             out["scores"] = np.asarray([e.get("score", 0.0) for e in batch],
                                        np.float32)
@@ -175,6 +211,8 @@ class TaskDataset:
             if key in batch[0]:
                 out[key + "s" if not key.endswith("s") else key] = \
                     [e.get(key) for e in batch]
+        if "is_topk_optimal" in batch[0]:  # reference keeps the exact name
+            out["is_topk_optimal"] = [e.get("is_topk_optimal") for e in batch]
         return out
 
 

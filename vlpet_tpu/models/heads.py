@@ -73,6 +73,17 @@ TASK_LOSSES = {
 }
 
 
+def classifier_bce_loss(answer_logits: Array, target: Array) -> Array:
+    """Mean element-wise BCE-with-logits over (B, num_answers) score
+    targets — torch nn.BCEWithLogitsLoss() default reduction
+    (reference: vqa_model.py:22,56)."""
+    logits = answer_logits.astype(jnp.float32)
+    t = target.astype(jnp.float32)
+    per = jnp.maximum(logits, 0.0) - logits * t + jnp.log1p(
+        jnp.exp(-jnp.abs(logits)))
+    return jnp.mean(per)
+
+
 def task_loss(task: str, per_token_loss: Array, labels: Array,
               scores: Optional[Array] = None) -> Array:
     """Dispatch on static task name (reference: multitask_model.py:54-89).

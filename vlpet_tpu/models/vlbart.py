@@ -285,20 +285,20 @@ class VLBart(nn.Module):
         return self.model.decoder.prefix_cache_init(batch_size, 0)
 
     def classify(self, input_ids, attention_mask, vis_feats=None, boxes=None,
-                 img_order_ids=None, obj_order_ids=None, ctx: PetContext = None):
-        """Classifier-head forward: fixed 2-token decoder input, answer
-        logits from the last decoder state (reference: vqa_model.py:170-205)."""
+                 img_order_ids=None, obj_order_ids=None, ctx: PetContext = None,
+                 deterministic: bool = True):
+        """Classifier-head forward: single decoder_start token, answer
+        logits from the last decoder state (reference: vqa_model.py:34-56
+        train / 100-125 test — both feed one start token)."""
         c = self.cfg
         ctx = self._ctx(ctx)
         B = input_ids.shape[0]
-        dec = jnp.tile(jnp.asarray([[c.backbone.decoder_start_token_id,
-                                     c.backbone.bos_token_id]], jnp.int32),
-                       (B, 1))
+        dec = jnp.full((B, 1), c.backbone.decoder_start_token_id, jnp.int32)
         dec_out, _, _ = self.model(input_ids, attention_mask, dec,
                                    vis_feats=vis_feats, boxes=boxes,
                                    img_order_ids=img_order_ids,
                                    obj_order_ids=obj_order_ids, ctx=ctx,
-                                   deterministic=True)
+                                   deterministic=deterministic)
         return self.answer_head(dec_out[:, -1])
 
 

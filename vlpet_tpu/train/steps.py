@@ -55,6 +55,20 @@ def make_train_step(model, tx, tasks: Tuple[str, ...], lambda_z: float = 0.0):
 
         def loss_fn(trainable):
             params = merge_params(trainable, frozen)
+            if batch.get("target") is not None:
+                # classifier head: BCE over dense answer-score targets,
+                # single-start-token decode (reference: vqa_model.py:34-56)
+                from vlpet_tpu.models.heads import classifier_bce_loss
+
+                logits = model.apply(
+                    {"params": params}, batch["input_ids"],
+                    batch["attention_mask"], vis_feats=batch.get("vis_feats"),
+                    boxes=batch.get("boxes"),
+                    img_order_ids=batch.get("img_order_ids"),
+                    obj_order_ids=batch.get("obj_order_ids"), ctx=ctx,
+                    deterministic=False, rngs={"dropout": rng},
+                    method=type(model).classify)
+                return classifier_bce_loss(logits, batch["target"])
             kwargs = dict(
                 vis_feats=batch.get("vis_feats"), boxes=batch.get("boxes"),
                 img_order_ids=batch.get("img_order_ids"),

@@ -44,7 +44,8 @@ from vlpet_tpu.parallel.mesh import MeshConfig, batch_sharding, build_mesh
 
 ARRAY_BATCH_KEYS = ("input_ids", "attention_mask", "vis_feats", "boxes",
                     "img_order_ids", "obj_order_ids", "vis_attention_mask",
-                    "target_ids", "scores", "decoder_input_ids", "images")
+                    "target_ids", "scores", "decoder_input_ids", "images",
+                    "target")
 
 
 def array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
@@ -382,6 +383,36 @@ class Trainer:
             res = merge_predict_results(all_gather_objects(res))
         return res
 
+    def predict_classifier(self, loader, label2ans) -> Dict[str, Any]:
+        """Classifier-head prediction: argmax over the answer vocabulary
+        (reference: vqa_model.py:100-125)."""
+
+        @partial(jax.jit, static_argnums=(2,))
+        def score(params, batch, task_idx):
+            ctx = PetContext(task=loader.task, task_idx=task_idx)
+            return self.model.apply(
+                {"params": params}, batch["input_ids"],
+                batch["attention_mask"], vis_feats=batch.get("vis_feats"),
+                boxes=batch.get("boxes"),
+                img_order_ids=batch.get("img_order_ids"),
+                obj_order_ids=batch.get("obj_order_ids"), ctx=ctx,
+                method=type(self.model).classify)
+
+        quesid2ans: Dict[Any, str] = {}
+        params = self.merged_params
+        task_idx = self.task_idx(loader.task)
+        offset = 0
+        for batch in loader:
+            arr = array_batch(batch)
+            arr.pop("target", None)
+            ids = np.asarray(score(params, arr, task_idx)).argmax(-1)
+            qids = batch.get("question_ids",
+                             range(offset, offset + len(ids)))
+            offset += len(ids)
+            for qid, i in zip(qids, ids):
+                quesid2ans[qid] = label2ans[int(i)]
+        return {"quesid2ans": quesid2ans}
+
     def predict_nlvr(self, loader) -> Dict[Any, int]:
         """True/false-logit scoring, no generation
         (reference: nlvr_model.py:240-258)."""
@@ -446,8 +477,15 @@ class Trainer:
                 return {}
             return ev.evaluate(res["predictions"], res["targets"])
         # QA-style tasks
-        res = self.predict(loader, num_beams=num_beams or 1,
-                           max_length=max_length or 20)
+        ds_cfg = getattr(getattr(loader, "dataset", None), "cfg", None)
+        if (getattr(self.cfg, "classifier", False) and ds_cfg is not None
+                and getattr(ds_cfg, "classifier", False)
+                and ds_cfg.ans2label):
+            label2ans = {v: k for k, v in ds_cfg.ans2label.items()}
+            res = self.predict_classifier(loader, label2ans)
+        else:
+            res = self.predict(loader, num_beams=num_beams or 1,
+                               max_length=max_length or 20)
         if ev is None:
             return {}
         if hasattr(ev, "evaluate_raw") and getattr(ev, "id2datum_gt", None):
