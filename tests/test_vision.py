@@ -163,3 +163,48 @@ def test_raw_end_to_end_training_step():
                                        flatten_with_paths(state.params))}
     assert any(v for n, v in moved.items() if "vis_encoder" in n), \
         "vis adapters did not receive gradients"
+
+
+class TestClipBPETokenizer:
+    """Pure-Python CLIP byte-level BPE (vision/clip_tokenizer.py) against a
+    tiny merges fixture (reference spec: src/clip/simple_tokenizer.py)."""
+
+    def _tok(self, tmp_path):
+        from vlpet_tpu.vision.clip_tokenizer import ClipBPETokenizer
+
+        merges = tmp_path / "merges.txt"
+        merges.write_text("#version: fixture\nc a\nca t</w>\nd o\ndo g</w>\n")
+        return ClipBPETokenizer(str(merges))
+
+    def test_merge_and_roundtrip(self, tmp_path):
+        tok = self._tok(tmp_path)
+        ids = tok.encode("Cat  DOG")  # cleaning lowercases + squeezes space
+        assert ids == [tok.encoder["cat</w>"], tok.encoder["dog</w>"]]
+        assert tok.decode(ids) == "cat dog"
+
+    def test_unmerged_fallback_to_bytes(self, tmp_path):
+        tok = self._tok(tmp_path)
+        ids = tok.encode("ox")
+        assert ids == [tok.encoder["o"], tok.encoder["x</w>"]]
+        assert tok.decode(ids) == "ox"
+
+    def test_vocab_layout(self, tmp_path):
+        tok = self._tok(tmp_path)
+        # 256 bytes + 256 byte</w> + 4 merges + 2 specials
+        assert tok.vocab_size == 256 + 256 + 4 + 2
+        assert tok.eot_id == tok.vocab_size - 1
+        assert tok.sot_id == tok.vocab_size - 2
+
+    def test_tokenize_context_padding(self, tmp_path):
+        import numpy as np
+        import pytest
+
+        tok = self._tok(tmp_path)
+        arr = tok(["cat dog"], context_length=8)
+        assert arr.shape == (1, 8)
+        assert arr[0, 0] == tok.sot_id and arr[0, 3] == tok.eot_id
+        assert (arr[0, 4:] == 0).all()
+        with pytest.raises(RuntimeError):
+            tok(["cat " * 20], context_length=8)
+        t = tok(["cat " * 20], context_length=8, truncate=True)
+        assert t[0, -1] == tok.eot_id
