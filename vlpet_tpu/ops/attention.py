@@ -73,36 +73,59 @@ def _compact_mask(mask_ref, L: int):
     return m[:, :L]
 
 
+def _shared_terms(per_head_mask, causal, compact, q_ref, k_ref, mask_ref):
+    """Head-independent additive terms, computed once per program."""
+    L, S = q_ref.shape[1], k_ref.shape[1]
+    if compact:
+        shared = _compact_mask(mask_ref, L)
+    elif per_head_mask:
+        shared = None
+    else:
+        shared = mask_ref[:, 0].astype(jnp.float32)
+    allowed = _causal_allowed(L, S)[None] if causal else None
+    return shared, allowed
+
+
+def _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref, bias_ref,
+                 shared, allowed, h):
+    q = _heads(q_ref, h, head_dim)      # (TB, L, Dh)
+    k = _heads(k_ref, h, head_dim)      # (TB, S, Dh)
+    s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    if shared is not None:
+        s = s + shared
+    else:
+        s = s + mask_ref[:, h].astype(jnp.float32)
+    if bias_ref is not None:
+        # batch-shared per-head additive bias (T5 relative positions):
+        # loaded once per program — the per-batch (B,H,L,S) sum the XLA
+        # path would materialize never exists
+        s = s + bias_ref[0, h].astype(jnp.float32)
+    if allowed is not None:
+        s = jnp.where(allowed, s, jnp.float32(-1e9))
+    return s
+
+
 def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
                 causal: bool, compact: bool, has_bias: bool,
                 q_ref, k_ref, v_ref, mask_ref, *rest):
     bias_ref = rest[0] if has_bias else None
     out_ref = rest[-1]
-    L, S = q_ref.shape[1], k_ref.shape[1]
-    allowed = _causal_allowed(L, S)[None] if causal else None
-    shared_mask = None
-    if compact:
-        shared_mask = _compact_mask(mask_ref, L)
-    elif not per_head_mask:
-        shared_mask = mask_ref[:, 0].astype(jnp.float32)
+    L = q_ref.shape[1]
+    shared, allowed = _shared_terms(per_head_mask, causal, compact,
+                                    q_ref, k_ref, mask_ref)
+    # NOTE: batching all H softmaxes into one call over sublane-concatenated
+    # (TB, H·L, S) logits was tried and is perf-NEUTRAL in the forward
+    # (4663 vs 4670 ex/s e2e) and VMEM-infeasible in the backward
+    # (p/dp/ds resident together: 21.5 MB > the 16 MB scoped stack) — the
+    # per-head loop is not op-issue-bound. See PERF.md.
     for h in range(num_heads):
-        q = _heads(q_ref, h, head_dim)      # (TB, L, Dh)
-        k = _heads(k_ref, h, head_dim)      # (TB, S, Dh)
-        v = _heads(v_ref, h, head_dim)
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        mask = shared_mask if shared_mask is not None \
-            else mask_ref[:, h].astype(jnp.float32)
-        s = s + mask  # broadcasts (1|TB, 1|L, S)
-        if bias_ref is not None:
-            # batch-shared per-head additive bias (T5 relative positions):
-            # loaded once per program — the per-batch (B,H,L,S) sum the XLA
-            # path would materialize never exists
-            s = s + bias_ref[0, h].astype(jnp.float32)
-        if allowed is not None:
-            s = jnp.where(allowed, s, jnp.float32(-1e9))
-        p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
-        o = jax.lax.dot_general(p, v, (((2,), (1,)), ((0,), (0,))),
+        p = jax.nn.softmax(
+            _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref,
+                         bias_ref, shared, allowed, h),
+            axis=-1).astype(q_ref.dtype)
+        o = jax.lax.dot_general(p, _heads(v_ref, h, head_dim),
+                                (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
         out_ref[:, :, h * head_dim:(h + 1) * head_dim] = o.astype(out_ref.dtype)
 
@@ -194,28 +217,16 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
     else:
         bias_ref = None
         do_ref, dq_ref, dk_ref, dv_ref = rest
-    L, S = q_ref.shape[1], k_ref.shape[1]
-    allowed = _causal_allowed(L, S)[None] if causal else None
-    shared_mask = None
-    if compact:
-        shared_mask = _compact_mask(mask_ref, L)
-    elif not per_head_mask:
-        shared_mask = mask_ref[:, 0].astype(jnp.float32)
+    shared, allowed = _shared_terms(per_head_mask, causal, compact,
+                                    q_ref, k_ref, mask_ref)
     for h in range(num_heads):
         sl = slice(h * head_dim, (h + 1) * head_dim)
         q = q_ref[:, :, sl]
         k = k_ref[:, :, sl]
         v = v_ref[:, :, sl]
         do = do_ref[:, :, sl].astype(jnp.float32)
-        s = jax.lax.dot_general(q, k, (((2,), (2,)), ((0,), (0,))),
-                                preferred_element_type=jnp.float32)
-        mask = shared_mask if shared_mask is not None \
-            else mask_ref[:, h].astype(jnp.float32)
-        s = s + mask
-        if bias_ref is not None:
-            s = s + bias_ref[0, h].astype(jnp.float32)
-        if allowed is not None:
-            s = jnp.where(allowed, s, jnp.float32(-1e9))
+        s = _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref,
+                         bias_ref, shared, allowed, h)
         p = jax.nn.softmax(s, axis=-1)
         # dv = p^T @ do   (contract L)
         dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
