@@ -191,3 +191,41 @@ def test_raw_label_answer_sampling():
     item = ds[0]
     assert item["score"] == 1.0
     assert item["all_answers"] == ["A Net", "mesh"]
+
+
+def test_classifier_head_t5():
+    """VLT5 classifier parity: the reference's VLT5VQA has the same BCE
+    answer head (vqa_model.py:8-18)."""
+    import dataclasses
+
+    from vlpet_tpu.config import T5Config
+    from vlpet_tpu.data.datasets import (DatasetConfig, Loader, TaskDataset,
+                                         synthetic_task_data)
+    from vlpet_tpu.data.tokenization import WhitespaceTokenizer
+    from vlpet_tpu.train.trainer import Trainer
+
+    ans2label = {"yes": 0, "no": 1}
+    cfg = VLModelConfig(
+        backbone=T5Config(vocab_size=60, d_model=32, num_layers=2,
+                          num_decoder_layers=2, num_heads=4, d_kv=8,
+                          d_ff=64, dropout_rate=0.0),
+        vis=VisConfig(feat_dim=16, n_boxes=4),
+        pet=vlpet_recipe("large", r=8, num_heads=4, gate_dim=8, tasks=TASKS),
+        classifier=True, num_answers=len(ans2label))
+    tok = WhitespaceTokenizer(vocab_size=60)
+    examples, source = synthetic_task_data("vqa", 4, n_boxes=4, feat_dim=16)
+    for ex in examples:
+        ex["label"] = {"no": 1.0}
+    ds = TaskDataset(DatasetConfig(task="vqa", max_text_length=8,
+                                   gen_max_length=4, n_boxes=4, feat_dim=16,
+                                   classifier=True, ans2label=ans2label),
+                     examples, source, tok)
+    loader = Loader(ds, 4)
+    trainer = Trainer(cfg, TASKS, lr=1e-2, total_steps=10, tokenizer=tok,
+                      verbose=False)
+    batch = next(iter(loader))
+    m = trainer.do_train_step(batch)
+    assert np.isfinite(float(m["loss"]))
+    res = trainer.predict_classifier(loader,
+                                     {v: k for k, v in ans2label.items()})
+    assert set(res["quesid2ans"].values()) <= {"yes", "no"}

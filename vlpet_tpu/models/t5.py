@@ -794,6 +794,16 @@ class VLT5(nn.Module):
                                        (pd, pd, pd))
         else:
             self.phm_rule = None
+        # classifier head (reference: vqa_model.py:8-18 — VLT5VQA has the
+        # same BCE answer head as the BART variant)
+        if self.cfg.classifier:
+            from vlpet_tpu.models.vlbart import AnswerHead
+
+            self.answer_head = AnswerHead(
+                b.d_model, self.cfg.num_answers,
+                init_std=b.initializer_factor * 0.02, name="answer_head")
+        else:
+            self.answer_head = None
         # model-shared Compacter slow weights (shared_W_phm; the reference's
         # set_W path is dead code — see config.AdapterSpec.shared_W_phm)
         if self.cfg.pet.use_compacter and self.cfg.pet.shared_W_phm:
@@ -840,6 +850,8 @@ class VLT5(nn.Module):
                                        ctx, deterministic=deterministic)
         logits = self._logits(dec_out)
         out = {"logits": logits, "encoder_last_hidden_state": enc_out}
+        if self.answer_head is not None:
+            out["answer_logits"] = self.answer_head(dec_out[:, -1])
         if output_hidden_states:
             out["decoder_last_hidden_state"] = dec_out
         if labels is not None:
@@ -881,6 +893,23 @@ class VLT5(nn.Module):
             else:
                 out["loss"] = per_tok
         return out
+
+    def classify(self, input_ids, attention_mask, vis_feats=None, boxes=None,
+                 img_order_ids=None, obj_order_ids=None,
+                 ctx: PetContext = None, deterministic: bool = True):
+        """Classifier-head forward: single decoder_start (= pad) token,
+        answer logits from the last decoder state (reference:
+        vqa_model.py:25-56 — VLT5VQA classifier branch)."""
+        b: T5Config = self.cfg.backbone
+        ctx = self._ctx(ctx)
+        B = input_ids.shape[0]
+        dec = jnp.full((B, 1), b.decoder_start_token_id, jnp.int32)
+        enc_out, joint_mask = self.model.encode(
+            input_ids, attention_mask, vis_feats, boxes, img_order_ids,
+            obj_order_ids, None, ctx, deterministic)
+        dec_out, _ = self.model.decode(dec, enc_out, joint_mask, ctx,
+                                       deterministic=deterministic)
+        return self.answer_head(dec_out[:, -1])
 
     # generation-facing methods (same staged API as VLBart)
     def encode(self, input_ids, attention_mask, vis_feats=None, boxes=None,
