@@ -529,3 +529,51 @@ def test_fused_ffn_activation_dropout():
                                    rtol=2e-4, atol=2e-4)
     finally:
         F._INTERPRET = False
+
+
+def test_fused_ffn_bias_cotangents():
+    """Advisor r2 (high): fc biases are trainable under LoRA /
+    unfreeze_*bias recipes while weight matrices stay frozen — the kernel
+    must return TRUE db1/db2 (grid-accumulated), not zeros. Checked against
+    jax.grad of the plain chain, with and without fused activation dropout,
+    on a padded-row-tail N."""
+    import vlpet_tpu.ops.ffn as F
+    from vlpet_tpu.ops.hashdrop import keep_mask
+
+    F._INTERPRET = True
+    try:
+        rng = np.random.default_rng(7)
+        N, D, Fd = 19, 16, 32
+        x = jnp.asarray(rng.normal(size=(N, D)) * 0.5, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(D, Fd)) * 0.3, jnp.float32)
+        b1 = jnp.asarray(rng.normal(size=(Fd,)) * 0.1, jnp.float32)
+        w2 = jnp.asarray(rng.normal(size=(Fd, D)) * 0.3, jnp.float32)
+        b2 = jnp.asarray(rng.normal(size=(D,)) * 0.1, jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+
+        for rate in (0.0, 0.4):
+            seed = jnp.asarray([13], jnp.int32) if rate else None
+            if rate:
+                tb = F._row_tile(N, D, Fd)
+                Np = -(-N // tb) * tb
+                mask = keep_mask((Np, Fd), jnp.uint32(0), seed[0], rate)[:N]
+
+            def ref(b1_, b2_):
+                h = jax.nn.relu(x @ w1 + b1_)
+                if rate:
+                    h = jnp.where(mask, h / (1 - rate), 0.0)
+                return h @ w2 + b2_
+
+            def fused(b1_, b2_):
+                return F.fused_ffn(x, w1, b1_, w2, b2_, "relu", rate, seed)
+
+            want1, want2 = jax.grad(
+                lambda a, b: (ref(a, b) * cot).sum(), argnums=(0, 1))(b1, b2)
+            got1, got2 = jax.grad(
+                lambda a, b: (fused(a, b) * cot).sum(), argnums=(0, 1))(b1, b2)
+            np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
+                                       rtol=2e-4, atol=2e-4)
+            np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        F._INTERPRET = False

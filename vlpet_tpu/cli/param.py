@@ -49,6 +49,11 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--local_rank", type=int, default=-1)
     add("--mesh_model_axis", type=int, default=1,
         help="tensor-parallel axis size of the device mesh")
+    add("--pallas_attention", type=str, default="auto",
+        choices=("auto", "on", "off"),
+        help="fused Pallas attention (auto: on for TPU; T5 falls back "
+             "under --unfreeze_language_model — the kernel's relative "
+             "bias is non-differentiable)")
 
     # backbone / vision
     add("--backbone", type=str, default="t5-base")
@@ -356,8 +361,11 @@ def build_model_config(args, tasks: Tuple[str, ...],
         if vocab_size:
             backbone = dataclasses.replace(backbone, vocab_size=vocab_size)
     dtype = "bfloat16" if (args.bf16 or args.fp16) else "float32"
+    pallas_attn = {"auto": None, "on": True, "off": False}[
+        getattr(args, "pallas_attention", "auto")]
     return VLModelConfig(backbone=backbone, vis=vis, pet=pet,
-                         classifier=args.classifier, dtype=dtype)
+                         classifier=args.classifier, dtype=dtype,
+                         use_pallas_attention=pallas_attn)
 
 
 class Config:

@@ -485,8 +485,11 @@ class VLModelConfig:
     num_answers: int = 3129  # VQAv2 topk answers (classifier head)
     # compute dtype for activations ('float32' | 'bfloat16'); params stay fp32
     dtype: str = "float32"
-    # fused short-sequence Pallas attention (TPU only; see vlpet_tpu/ops)
-    use_pallas_attention: bool = False
+    # fused short-sequence Pallas attention (see vlpet_tpu/ops). Tri-state:
+    # None = auto (on for TPU backends; the T5 path additionally requires a
+    # frozen relative_attention_bias, i.e. not unfreeze_language_model —
+    # the kernel treats the bias as non-differentiable); True/False force.
+    use_pallas_attention: Optional[bool] = None
     # fused linear+cross-entropy (TPU, frozen lm head; ops/fused_ce.py).
     # Off by default: wins forward-only (5.7 vs 9.7 ms at flagship shapes)
     # but the backward's logits recompute loses the fwd+bwd total (PERF.md)

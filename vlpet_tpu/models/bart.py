@@ -321,8 +321,10 @@ class BartAttention(nn.Module):
         # (B, L, H*Dh) layout, killing both the (B,H,L,S) HBM round trips
         # and the head-transpose copies (fwd+bwd 3.9 vs 6.3 ms at flagship
         # encoder shapes — PERF.md round 2). CPU keeps the XLA einsum path.
-        use_pallas = ((getattr(self.cfg, "use_pallas_attention", False)
-                       or jax.default_backend() not in ("cpu",))
+        flag = getattr(self.cfg, "use_pallas_attention", None)
+        enabled = (jax.default_backend() not in ("cpu",) if flag is None
+                   else flag)  # tri-state: None = auto-on for TPU
+        use_pallas = (enabled
                       and (self.dropout == 0.0 or deterministic)
                       and (mask is not None or causal) and L > 1)
         if use_pallas:

@@ -74,14 +74,20 @@ class BartForSequenceClassification(nn.Module):
         dec_out, _, _ = self.model(input_ids, attention_mask,
                                    decoder_input_ids, ctx=ctx,
                                    deterministic=deterministic)
-        # last-EOS pooling: argmax over reversed positions of the eos mask
-        # (all rows are expected to contain >=1 eos, as in the reference)
+        # last-EOS pooling over the sequence fed to the DECODER (the
+        # classification input — equals HF's input_ids pooling whenever the
+        # caller feeds the same sequence both ways, the reference's usage).
+        # HF raises on rows without an eos; data-dependent raises don't
+        # exist under jit, so rows with no eos pool to NaN instead of
+        # silently pooling position 0 — the failure is loud downstream.
         is_eos = (decoder_input_ids == c.backbone.eos_token_id)
         T = decoder_input_ids.shape[1]
         pos = jnp.arange(T)[None, :]
         last_eos = jnp.max(jnp.where(is_eos, pos, -1), axis=1)  # (B,)
         pooled = jnp.take_along_axis(
             dec_out, last_eos[:, None, None].clip(0), axis=1)[:, 0]
+        pooled = jnp.where((last_eos >= 0)[:, None], pooled,
+                           jnp.float32(jnp.nan).astype(pooled.dtype))
         logits = self.classification_head(pooled, deterministic)
         out = {"logits": logits}
         if labels is not None:

@@ -212,7 +212,15 @@ class T5Attention(nn.Module):
             v = self._shape(self.v(hidden_states))
         B, L = q.shape[:2]
         S = k.shape[1]
-        use_pallas = (jax.default_backend() not in ("cpu",)
+        flag = getattr(self.cfg, "use_pallas_attention", None)
+        # tri-state: None = auto — on for TPU, EXCEPT full fine-tuning:
+        # the kernel treats the relative-position bias as non-differentiable
+        # and relative_attention_bias is trainable under
+        # unfreeze_language_model (advisor r2 #2). True/False force.
+        enabled = (flag if flag is not None
+                   else (jax.default_backend() not in ("cpu",)
+                         and not self.cfg.pet.unfreeze_language_model))
+        use_pallas = (enabled
                       and (b.dropout_rate == 0.0 or deterministic)
                       and (position_bias is not None or pad_mask is not None)
                       and L > 1)

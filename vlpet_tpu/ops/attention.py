@@ -298,7 +298,8 @@ def fused_attention(q: Array, k: Array, v: Array, mask: Array,
 
     NOTE: mask and bias are treated as non-differentiable (zero
     cotangent). True for every PET recipe (the T5 relative bias is
-    frozen); disable use_pallas_attention when fully fine-tuning T5."""
+    frozen); T5Attention auto-falls-back to the XLA path under
+    unfreeze_language_model (use_pallas_attention=None tri-state)."""
     return _pallas_attention(q, k, v, mask, num_heads, causal, bias)
 
 

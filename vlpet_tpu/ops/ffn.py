@@ -11,9 +11,13 @@ a 172 MB residual back from HBM, and beats XLA's four-tensor save set that
 the save-light gelu already shrank).
 
 Scope / guards (enforced by `ffn_supported`):
-* weights are FROZEN (every published PET recipe): the custom_vjp returns
-  zero cotangents for w/b — callers must not differentiate through them.
-* activation_dropout == 0 (BART default; reference recipes never set it).
+* weight MATRICES are frozen (every published PET recipe): the custom_vjp
+  returns zero cotangents for w1/w2, so the kernel is gated off under
+  ``unfreeze_language_model``. BIASES get TRUE cotangents (db1/db2
+  accumulate across the sequential bwd grid) — LoRA and the
+  unfreeze_*bias recipes train fc biases while weights stay frozen.
+* activation dropout (when configured) is FUSED IN via the hash mask
+  (ops/hashdrop.py), regenerated in the backward — not excluded.
 * activation ∈ {gelu (erf), gelu_new (tanh), relu}.
 
 Layout: x (N, D) bf16; w1 (D, F), b1 (F,), w2 (F, D), b2 (D,) — any float
@@ -118,23 +122,38 @@ def _fwd_kernel(act: str, rate: float, *refs):
 
 def _bwd_kernel(act: str, rate: float, *refs):
     if rate > 0.0:
-        seed_ref, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref = refs
+        seed_ref, x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref, db1_ref, db2_ref = refs
     else:
-        x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref = refs
+        x_ref, dy_ref, w1_ref, b1_ref, w2_ref, dx_ref, db1_ref, db2_ref = refs
+    pid = pl.program_id(0)
     # recompute fc1 (one extra MXU pass — no residual reads)
     h = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     h = h + b1_ref[...].astype(jnp.float32)
+    dyf = dy_ref[...].astype(jnp.float32)
     dh = jax.lax.dot_general(dy_ref[...], w2_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     if rate > 0.0:
-        row_base = pl.program_id(0) * x_ref.shape[0]
+        row_base = pid * x_ref.shape[0]
         keep = keep_mask(dh.shape, row_base, seed_ref[0], rate)
         dh = jnp.where(keep, dh * (1.0 / (1.0 - rate)), 0.0)
-    ds = (dh * _act_grad(h, act)).astype(x_ref.dtype)
+    dsf = dh * _act_grad(h, act)
+    ds = dsf.astype(x_ref.dtype)
     dx = jax.lax.dot_general(ds, w1_ref[...], (((1,), (1,)), ((), ())),
                              preferred_element_type=jnp.float32)
     dx_ref[...] = dx.astype(dx_ref.dtype)
+    # true bias cotangents: db1 = Σ_rows ds, db2 = Σ_rows dy — LoRA and the
+    # unfreeze_*bias recipes train fc biases while weights stay frozen.
+    # Accumulate across the sequential grid (padded rows contribute 0: dy is
+    # zero-padded, so dh/ds vanish there too).
+
+    @pl.when(pid == 0)
+    def _init():
+        db1_ref[...] = jnp.zeros_like(db1_ref)
+        db2_ref[...] = jnp.zeros_like(db2_ref)
+
+    db1_ref[...] += jnp.sum(dsf, axis=0)[None]
+    db2_ref[...] += jnp.sum(dyf, axis=0)[None]
 
 
 def _pad_rows(x: Array, tb: int):
@@ -147,7 +166,7 @@ def _pad_rows(x: Array, tb: int):
 
 
 def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim,
-         rate: float = 0.0, seed=None):
+         rate: float = 0.0, seed=None, acc_dims=()):
     """row_inputs are (N, ·) tensors sliced per grid row-tile; full_inputs
     (weights/biases) live whole in VMEM across the sequential grid.
 
@@ -168,30 +187,40 @@ def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim,
     ms = pl.ANY if _INTERPRET else pltpu.VMEM
     row_specs = [pl.BlockSpec((tb, t.shape[1]), lambda i: (i, 0),
                               memory_space=ms) for t in padded]
-    out_spec = pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=ms)
+    out_specs = [pl.BlockSpec((tb, out_dim), lambda i: (i, 0), memory_space=ms)]
+    out_shapes = [jax.ShapeDtypeStruct((N, out_dim), row_inputs[0].dtype)]
+    # grid-accumulated (1, dim) fp32 outputs (bias cotangents in the bwd)
+    for dim in acc_dims:
+        out_specs.append(pl.BlockSpec((1, dim), lambda i: (0, 0),
+                                      memory_space=ms))
+        out_shapes.append(jax.ShapeDtypeStruct((1, dim), jnp.float32))
     full_specs = [pl.BlockSpec(t.shape, (lambda nd: lambda i: (0,) * nd)(t.ndim),
                                memory_space=ms) for t in full_inputs]
     pre_specs, pre_args = [], []
     if rate > 0.0:
         pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
         pre_args = [seed]
-    y = pl.pallas_call(
+    out = pl.pallas_call(
         functools.partial(kernel, act, rate),
         grid=(N // tb,),
         in_specs=pre_specs + row_specs + full_specs,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((N, out_dim), row_inputs[0].dtype),
+        out_specs=out_specs[0] if not acc_dims else tuple(out_specs),
+        out_shape=out_shapes[0] if not acc_dims else tuple(out_shapes),
         interpret=_INTERPRET,
     )(*pre_args, *padded, *full_inputs)
-    return y[:n0] if N != n0 else y
+    if not acc_dims:
+        return out[:n0] if N != n0 else out
+    y, *accs = out
+    return (y[:n0] if N != n0 else y, *accs)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def fused_ffn(x: Array, w1: Array, b1: Array, w2: Array, b2: Array,
               act: str = "gelu", rate: float = 0.0,
               seed: Optional[Array] = None) -> Array:
-    """y = drop(act(x @ w1 + b1); rate) @ w2 + b2 with frozen w/b (zero
-    cotangents).
+    """y = drop(act(x @ w1 + b1); rate) @ w2 + b2. Weight matrices are
+    frozen (zero cotangents — gated by ``ffn_supported``); biases receive
+    TRUE cotangents (trainable under LoRA / unfreeze_*bias recipes).
 
     x (N, D) bf16; w1 (D, F); b1 (F,); w2 (F, D); b2 (D,). ``rate`` > 0
     fuses activation dropout in (seed (1,) int32 drives the hash mask,
@@ -209,11 +238,13 @@ def _fwd(x, w1, b1, w2, b2, act, rate, seed):
 
 def _bwd(act, rate, res, dy):
     x, w1, b1, w2, b2, seed = res
-    dx = _run(_bwd_kernel, act, [x, dy.astype(x.dtype)],
-              [w1.astype(x.dtype), b1, w2.astype(x.dtype)],
-              w1.shape[1], w1.shape[0], rate, seed)
-    return (dx, jnp.zeros_like(w1), jnp.zeros_like(b1), jnp.zeros_like(w2),
-            jnp.zeros_like(b2), None)
+    dx, db1, db2 = _run(
+        _bwd_kernel, act, [x, dy.astype(x.dtype)],
+        [w1.astype(x.dtype), b1, w2.astype(x.dtype)],
+        w1.shape[1], w1.shape[0], rate, seed,
+        acc_dims=(w1.shape[1], w2.shape[1]))
+    return (dx, jnp.zeros_like(w1), db1.reshape(b1.shape).astype(b1.dtype),
+            jnp.zeros_like(w2), db2.reshape(b2.shape).astype(b2.dtype), None)
 
 
 fused_ffn.defvjp(_fwd, _bwd)
@@ -221,8 +252,10 @@ fused_ffn.defvjp(_fwd, _bwd)
 
 def ffn_supported(cfg, act: str) -> bool:
     """Kernel applicability: TPU backend, bf16 compute, supported
-    activation, FROZEN language model (the custom_vjp returns zero w/b
-    cotangents). Activation dropout is fused in when configured."""
+    activation, frozen language-model WEIGHT MATRICES (the custom_vjp
+    returns zero w1/w2 cotangents; biases get true cotangents, so LoRA /
+    unfreeze_*bias recipes are safe). Activation dropout is fused in via
+    the hash mask when configured, not excluded."""
     p = cfg.pet
     return (jax.default_backend() not in ("cpu",)
             and cfg.dtype == "bfloat16"

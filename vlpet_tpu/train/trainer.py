@@ -229,7 +229,7 @@ class Trainer:
             if getattr(cfg, "scan_layers", False):
                 gen_cfg = dataclasses.replace(gen_cfg, scan_layers=False)
             if (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
-                    and not getattr(cfg, "use_pallas_attention", False)):
+                    and getattr(cfg, "use_pallas_attention", None) is None):
                 gen_cfg = dataclasses.replace(gen_cfg, use_pallas_attention=True)
             if gen_cfg is cfg:
                 self.gen_model = self.model
