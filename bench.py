@@ -1,12 +1,17 @@
-"""Benchmark: fine-tune throughput of the flagship config on one TPU chip.
+"""Benchmark: fine-tune throughput of the flagship configs on one TPU chip.
 
 Measures examples/sec of the full training step (forward + backward + clip +
-AdamW) for BART-base + VL-PET-large multitask image-text — the BASELINE.json
-headline config — with the published recipe shapes (batch 500, 20 text
-tokens, 36 visual boxes @2048-d, 10 target tokens; scripts/image-text/
-VL-PET-large.sh).
+AdamW) for BOTH flagship recipes:
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+* BART-base + VL-PET-large multitask image-text (headline; batch 500,
+  20 text tokens, 36 visual boxes @2048-d, 10 target tokens —
+  scripts/image-text/VL-PET-large.sh)
+* T5-base + VL-PET-large (batch 300, r 192 —
+  scripts/image-text/T5-VL-PET-large.sh)
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
+BART headline, plus "t5_examples_per_sec" / "t5_vs_bart" fields so the
+driver record captures the T5 number too.
 
 vs_baseline denominator: the reference publishes no throughput (SURVEY.md
 §6). The A100 estimate below is derived, not measured: the published recipe
@@ -30,22 +35,22 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 A100_EST_EX_PER_SEC = 155.0
 
 
-def main():
-    from __graft_entry__ import _batch, _flagship_cfg
+def bench_step(cfg, tasks, B: int, n_steps: int = 10, windows: int = 3
+               ) -> float:
+    """examples/sec of the full train step for one model config."""
+    import dataclasses
+
+    from __graft_entry__ import _batch
+    from vlpet_tpu.models.t5 import VLT5
     from vlpet_tpu.models.vlbart import VLBart
     from vlpet_tpu.pet.modules import PetContext
     from vlpet_tpu.train.freezing import split_params, trainable_mask
     from vlpet_tpu.train.optim import build_optimizer
     from vlpet_tpu.train.steps import TrainState, make_train_step
 
-    import dataclasses
-    cfg, tasks = _flagship_cfg()
-    # MXU-native bf16 compute; the multi-row Pallas fused attention is the
-    # default on TPU (fwd+bwd 3.9 vs 6.3 ms at these shapes — PERF.md r2).
+    # MXU-native bf16 compute; Pallas fused attention/FFN/LN default on TPU
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
-    model = VLBart(cfg)
-
-    B = 500  # published recipe batch size (scripts/image-text/VL-PET-large.sh)
+    model = VLT5(cfg) if cfg.is_t5 else VLBart(cfg)
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
 
     params = jax.jit(lambda: model.init(
@@ -59,35 +64,43 @@ def main():
     step = make_train_step(model, tx, tasks)
 
     rng = jax.random.key(0, impl="rbg")  # TPU-native PRNG (see PERF.md)
-    # warmup / compile
-    for _ in range(3):
+    for _ in range(3):  # warmup / compile
         rng, sub = jax.random.split(rng)
         state, metrics = step(state, frozen, batch, sub, 0)
     float(jnp.asarray(metrics["loss"]))
 
     # Timing on the tunneled 'axon' platform: block_until_ready can return
-    # early and a host fetch costs a ~27ms round trip, so we dispatch n_steps
+    # early and a host fetch costs a ~27ms round trip, so dispatch n_steps
     # asynchronously (they pipeline on device) and synchronize ONCE via a
-    # data-dependent scalar fetch from the final state — the fetch cannot
-    # complete until every chained step has executed.
-    # device/tunnel throughput is noisy across sessions: take the best of
-    # three 10-step windows
-    n_steps = 10
+    # data-dependent scalar fetch from the final state. Best-of-N windows
+    # (device/tunnel throughput is noisy across sessions).
     best_dt = float("inf")
-    for _ in range(3):
+    for _ in range(windows):
         t0 = time.perf_counter()
         for _ in range(n_steps):
             rng, sub = jax.random.split(rng)
             state, metrics = step(state, frozen, batch, sub, 0)
         float(jnp.asarray(metrics["loss"]))
         best_dt = min(best_dt, time.perf_counter() - t0)
+    return B * n_steps / best_dt
 
-    ex_per_sec = B * n_steps / best_dt
+
+def main():
+    from __graft_entry__ import _flagship_cfg, _flagship_t5_cfg
+
+    cfg, tasks = _flagship_cfg()
+    bart_ex = bench_step(cfg, tasks, B=500)
+
+    t5_cfg, t5_tasks = _flagship_t5_cfg()
+    t5_ex = bench_step(t5_cfg, t5_tasks, B=300)
+
     print(json.dumps({
         "metric": "train_examples_per_sec_per_chip (BART-base VL-PET-large multitask)",
-        "value": round(ex_per_sec, 2),
+        "value": round(bart_ex, 2),
         "unit": "examples/sec/chip",
-        "vs_baseline": round(ex_per_sec / A100_EST_EX_PER_SEC, 3),
+        "vs_baseline": round(bart_ex / A100_EST_EX_PER_SEC, 3),
+        "t5_examples_per_sec": round(t5_ex, 2),
+        "t5_vs_bart": round(t5_ex / bart_ex, 3),
     }))
 
 

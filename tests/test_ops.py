@@ -318,7 +318,9 @@ class TestFusedDropoutAddLN:
         class Ref(fnn.Module):
             @fnn.compact
             def __call__(self, h, res):
-                return fnn.LayerNorm(name="ln")(res + h)
+                # eps 1e-5 = torch nn.LayerNorm default (HF BART parity);
+                # flax's own default is 1e-6
+                return fnn.LayerNorm(epsilon=1e-5, name="ln")(res + h)
 
         ref = Ref()
         p_ref = ref.init(jax.random.PRNGKey(0), h, res)["params"]
@@ -574,6 +576,47 @@ def test_fused_ffn_bias_cotangents():
             np.testing.assert_allclose(np.asarray(got1), np.asarray(want1),
                                        rtol=2e-4, atol=2e-4)
             np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                       rtol=2e-4, atol=2e-4)
+    finally:
+        F._INTERPRET = False
+
+
+def test_fused_gated_ffn_matches_reference():
+    """ops/ffn.py gated variant (t5-1.1 gated-gelu): forward + dx parity
+    with the plain act(x@w0)*(x@w1)@wo chain, incl. the fused hidden
+    dropout (hash mask recomputable outside) and padded row tails."""
+    import vlpet_tpu.ops.ffn as F
+    from vlpet_tpu.ops.hashdrop import keep_mask
+
+    F._INTERPRET = True
+    try:
+        rng = np.random.default_rng(11)
+        N, D, Fd = 19, 16, 32
+        x = jnp.asarray(rng.normal(size=(N, D)) * 0.5, jnp.float32)
+        w0 = jnp.asarray(rng.normal(size=(D, Fd)) * 0.3, jnp.float32)
+        w1 = jnp.asarray(rng.normal(size=(D, Fd)) * 0.3, jnp.float32)
+        wo = jnp.asarray(rng.normal(size=(Fd, D)) * 0.3, jnp.float32)
+
+        for rate in (0.0, 0.4):
+            seed = jnp.asarray([21], jnp.int32) if rate else None
+            if rate:
+                tb = F._row_tile(N, D, Fd, n_w=3, hid_f32=2)
+                Np = -(-N // tb) * tb
+                mask = keep_mask((Np, Fd), jnp.uint32(0), seed[0], rate)[:N]
+
+            def ref(v):
+                g = jax.nn.gelu(v @ w0, approximate=True) * (v @ w1)
+                if rate:
+                    g = jnp.where(mask, g / (1 - rate), 0.0)
+                return g @ wo
+
+            got = F.fused_gated_ffn(x, w0, w1, wo, "gelu_new", rate, seed)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref(x)),
+                                       rtol=2e-5, atol=2e-5)
+            g1 = jax.grad(lambda v: F.fused_gated_ffn(
+                v, w0, w1, wo, "gelu_new", rate, seed).sum())(x)
+            g2 = jax.grad(lambda v: ref(v).sum())(x)
+            np.testing.assert_allclose(np.asarray(g1), np.asarray(g2),
                                        rtol=2e-4, atol=2e-4)
     finally:
         F._INTERPRET = False

@@ -465,39 +465,11 @@ def vl_ref_config():
     return cfg
 
 
-def test_full_vlbart_forward_parity(ref_vl):
-    """Full reference VLBart (VL-PET-large) vs my VLBart on identical
-    weights: visual embedding, joint mask, all hooks, lm head, CE loss."""
-    import dataclasses
-
-    from vlpet_tpu.models.vlbart import VLBart
-    from vlpet_tpu.models.heads import vqa_loss
-
-    torch.manual_seed(0)
-    tcfg = vl_ref_config()
-    tm = ref_vl.VLBart(tcfg).eval()
-
-    cfg = dataclasses.replace(
-        my_cfg(), vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX))
-    mm = VLBart(cfg)
-    rng = np.random.default_rng(3)
-    B, L, T = 2, 5, 4
-    input_ids = rng.integers(3, 60, (B, L)).astype(np.int64)
-    attn = np.ones((B, L), np.int64)
-    attn[1, -1] = 0
-    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
-    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
-    labels = rng.integers(3, 60, (B, T)).astype(np.int64)
-    labels[1, -1] = -100
-
-    ctx = PetContext(task="vqa", task_idx=0)
-    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
-                     jnp.asarray(attn, jnp.int32),
-                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
-                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
-    params = jax.tree_util.tree_map(np.asarray, params)
-
-    # --- weight copy ------------------------------------------------------
+def copy_vlbart_weights(tm, params):
+    """Copy every forward-relevant reference VLBart tensor into the
+    jax-shaped ``params`` tree (mutates it). Also reused by the training-
+    dynamics tests to map torch GRADIENTS into the same tree layout (run on
+    a grad-clone whose .data is .grad)."""
     params["model"]["shared"] = _t(tm.model.shared.weight)
     params["final_logits_bias"] = _t(tm.final_logits_bias)
     for stack, tstack in (("encoder", tm.model.encoder),
@@ -560,6 +532,53 @@ def test_full_vlbart_forward_parity(ref_vl):
         vpa["down_sampler"]["bias"] = _t(tad.down_sampler.bias)
         vpa["up_sampler"]["kernel"] = _t(tad.up_sampler.weight).T
         vpa["up_sampler"]["bias"] = _t(tad.up_sampler.bias)
+    return params
+
+
+def vlbart_pair(ref_vl, seed=3):
+    """(torch model, my model, params-with-copied-weights, batch arrays)."""
+    import dataclasses
+
+    from vlpet_tpu.models.vlbart import VLBart
+
+    torch.manual_seed(0)
+    tcfg = vl_ref_config()
+    tm = ref_vl.VLBart(tcfg).eval()
+
+    cfg = dataclasses.replace(
+        my_cfg(), vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX))
+    mm = VLBart(cfg)
+    rng = np.random.default_rng(seed)
+    B, L, T = 2, 5, 4
+    input_ids = rng.integers(3, 60, (B, L)).astype(np.int64)
+    attn = np.ones((B, L), np.int64)
+    attn[1, -1] = 0
+    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
+    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
+    labels = rng.integers(3, 60, (B, T)).astype(np.int64)
+    labels[1, -1] = -100
+    batch = dict(input_ids=input_ids, attn=attn, feats=feats, boxes=boxes,
+                 labels=labels)
+
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
+                     jnp.asarray(attn, jnp.int32),
+                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
+                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    copy_vlbart_weights(tm, params)
+    return tm, mm, cfg, params, batch
+
+
+def test_full_vlbart_forward_parity(ref_vl):
+    """Full reference VLBart (VL-PET-large) vs my VLBart on identical
+    weights: visual embedding, joint mask, all hooks, lm head, CE loss."""
+    tm, mm, cfg, params, batch = vlbart_pair(ref_vl)
+    input_ids, attn, feats, boxes, labels = (
+        batch["input_ids"], batch["attn"], batch["feats"], batch["boxes"],
+        batch["labels"])
+    B, T = labels.shape
+    ctx = PetContext(task="vqa", task_idx=0)
 
     # --- compare -----------------------------------------------------------
     out = mm.apply({"params": params}, jnp.asarray(input_ids, jnp.int32),
@@ -605,40 +624,10 @@ def vl_ref_t5_config():
     return cfg
 
 
-def test_full_vlt5_forward_parity(ref_t5_vl):
-    """Full reference VLT5 (VL-PET recipe) vs my VLT5: block-diagonal
-    relative bias, visual embedding (T5 LN), tied-head rescale, hooks."""
-    import dataclasses
-
-    from vlpet_tpu.config import T5Config as MyT5Config
-    from vlpet_tpu.models.t5 import VLT5
-
-    torch.manual_seed(1)
-    tcfg = vl_ref_t5_config()
-    tm = ref_t5_vl.VLT5(tcfg).eval()
-
-    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
-    cfg = VLModelConfig(
-        backbone=MyT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN,
-                            num_layers=2, num_decoder_layers=2,
-                            num_heads=HEADS, dropout_rate=0.0),
-        vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX), pet=pet)
-    mm = VLT5(cfg)
-    rng = np.random.default_rng(4)
-    B, L, T = 2, 5, 4
-    input_ids = rng.integers(2, 60, (B, L)).astype(np.int64)
-    attn = np.ones((B, L), np.int64)
-    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
-    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
-    labels = rng.integers(2, 60, (B, T)).astype(np.int64)
-
-    ctx = PetContext(task="vqa", task_idx=0)
-    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
-                     jnp.asarray(attn, jnp.int32),
-                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
-                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
-    params = jax.tree_util.tree_map(np.asarray, params)
-
+def copy_vlt5_weights(tm, params):
+    """Copy every forward-relevant reference VLT5 tensor into the jax-shaped
+    ``params`` tree (mutates it). Reused by the training-dynamics tests to
+    map torch gradients into the same layout."""
     params["model"]["shared"] = _t(tm.shared.weight)
     for stack, tstack, n_blocks in (("encoder", tm.encoder, 2),
                                     ("decoder", tm.decoder, 2)):
@@ -727,6 +716,53 @@ def test_full_vlt5_forward_parity(ref_t5_vl):
     pv["absolute_vis_pos_layer_norm"]["scale"] = _t(
         tv.absolute_vis_pos_embedding[1].weight)
     pv["img_order_embedding"] = _t(tv.img_order_embedding.weight)
+    return params
+
+
+def vlt5_pair(ref_t5_vl, seed=4):
+    """(torch model, my model, cfg, params-with-copied-weights, batch)."""
+    from vlpet_tpu.config import T5Config as MyT5Config
+    from vlpet_tpu.models.t5 import VLT5
+
+    torch.manual_seed(1)
+    tcfg = vl_ref_t5_config()
+    tm = ref_t5_vl.VLT5(tcfg).eval()
+
+    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    cfg = VLModelConfig(
+        backbone=MyT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN,
+                            num_layers=2, num_decoder_layers=2,
+                            num_heads=HEADS, dropout_rate=0.0),
+        vis=VisConfig(feat_dim=FEAT, n_boxes=NBOX), pet=pet)
+    mm = VLT5(cfg)
+    rng = np.random.default_rng(seed)
+    B, L, T = 2, 5, 4
+    input_ids = rng.integers(2, 60, (B, L)).astype(np.int64)
+    attn = np.ones((B, L), np.int64)
+    feats = rng.normal(size=(B, NBOX, FEAT)).astype(np.float32)
+    boxes = rng.uniform(size=(B, NBOX, 4)).astype(np.float32)
+    labels = rng.integers(2, 60, (B, T)).astype(np.int64)
+    batch = dict(input_ids=input_ids, attn=attn, feats=feats, boxes=boxes,
+                 labels=labels)
+
+    ctx = PetContext(task="vqa", task_idx=0)
+    params = mm.init(jax.random.PRNGKey(0), jnp.asarray(input_ids, jnp.int32),
+                     jnp.asarray(attn, jnp.int32),
+                     vis_feats=jnp.asarray(feats), boxes=jnp.asarray(boxes),
+                     labels=jnp.asarray(labels, jnp.int32), ctx=ctx)["params"]
+    params = jax.tree_util.tree_map(np.asarray, params)
+    copy_vlt5_weights(tm, params)
+    return tm, mm, cfg, params, batch
+
+
+def test_full_vlt5_forward_parity(ref_t5_vl):
+    """Full reference VLT5 (VL-PET recipe) vs my VLT5: block-diagonal
+    relative bias, visual embedding (T5 LN), tied-head rescale, hooks."""
+    tm, mm, cfg, params, batch = vlt5_pair(ref_t5_vl)
+    input_ids, attn, feats, boxes, labels = (
+        batch["input_ids"], batch["attn"], batch["feats"], batch["boxes"],
+        batch["labels"])
+    ctx = PetContext(task="vqa", task_idx=0)
 
     out = mm.apply({"params": params}, jnp.asarray(input_ids, jnp.int32),
                    jnp.asarray(attn, jnp.int32), vis_feats=jnp.asarray(feats),

@@ -1,0 +1,279 @@
+"""Training-dynamics oracle parity (judge r2 next-round #2).
+
+The forward-parity capstones (test_reference_parity.py) prove eval-mode
+equivalence; these tests prove the models TRAIN identically:
+
+* gradient parity — torch autograd on the reference VLBart/VLT5 vs
+  jax.grad on the Flax rebuild, identical weights (VL-PET-large, dropout
+  0), every leaf of the param tree;
+* K-step AdamW lockstep — the reference optimizer stack
+  (transformers-AdamW semantics + linear warmup + clip_grad_norm 5,
+  trainer_base.py:627-732 / multitask.py:279-300) with the reference's
+  substring freezing vs train/optim.py + train/freezing.py on fixed
+  batches: losses and updated params must track step for step.
+
+Torch gradients/params are mapped into the jax tree layout by re-running
+the SAME weight-copy functions the forward tests use, on a clone whose
+.data is .grad — no second mapping to drift out of sync.
+"""
+
+import copy
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax
+import jax.numpy as jnp
+
+from test_reference_parity import (  # noqa: F401 (fixtures by name)
+    copy_vlbart_weights,
+    copy_vlt5_weights,
+    ref_mod,
+    ref_t5,
+    ref_t5_vl,
+    ref_vl,
+    vlbart_pair,
+    vlt5_pair,
+)
+from vlpet_tpu.pet.modules import PetContext
+
+pytestmark = __import__("test_reference_parity").pytestmark
+
+
+def _grad_clone(tm):
+    """A model clone whose parameter .data holds the GRADIENTS of tm (zeros
+    where grad is None) and whose buffers are zeroed — running the weight-
+    copy function on it yields the torch grads in the jax tree layout."""
+    gm = copy.deepcopy(tm)
+    for p, q in zip(tm.parameters(), gm.parameters()):
+        q.data = (p.grad.detach().clone() if p.grad is not None
+                  else torch.zeros_like(p))
+    for b, c in zip(tm.buffers(), gm.buffers()):
+        c.data = torch.zeros_like(b)
+    return gm
+
+
+def _flat(tree):
+    flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+    return [(".".join(str(getattr(k, "key", k)) for k in p), v)
+            for p, v in flat]
+
+
+def _masked_mean_scalar_torch(flat_loss, labels):
+    lt = flat_loss.view(*labels.shape)
+    mask = (labels != -100).float()
+    return (lt * mask).sum() / mask.sum().clamp(min=1.0)
+
+
+def _run_torch_forward(tm, batch):
+    return tm(input_ids=torch.tensor(batch["input_ids"]),
+              attention_mask=torch.tensor(batch["attn"]),
+              vis_inputs=(torch.tensor(batch["feats"]),
+                          torch.tensor(batch["boxes"])),
+              labels=torch.tensor(batch["labels"]), task="vqa",
+              return_dict=True)
+
+
+def _jax_loss_fn(mm, batch):
+    ctx = PetContext(task="vqa", task_idx=0)
+    labels = jnp.asarray(batch["labels"], jnp.int32)
+    mask = (labels != -100).astype(jnp.float32)
+
+    def loss_fn(params):
+        out = mm.apply({"params": params},
+                       jnp.asarray(batch["input_ids"], jnp.int32),
+                       jnp.asarray(batch["attn"], jnp.int32),
+                       vis_feats=jnp.asarray(batch["feats"]),
+                       boxes=jnp.asarray(batch["boxes"]), labels=labels,
+                       ctx=ctx)
+        return (out["loss"] * mask).sum() / jnp.clip(mask.sum(), 1.0)
+
+    return loss_fn
+
+
+def _assert_grad_tree_close(jax_grads, ref_grads, rtol=2e-3):
+    checked = 0
+    for (name, g), (_, r) in zip(_flat(jax_grads), _flat(ref_grads)):
+        if "final_logits_bias" in name:
+            # torch BUFFER (no autograd); frozen on the jax side by the
+            # freezing engine's buffer rule — excluded from parity
+            continue
+        g, r = np.asarray(g, np.float64), np.asarray(r, np.float64)
+        scale = max(np.abs(r).max(), np.abs(g).max())
+        np.testing.assert_allclose(
+            g, r, rtol=rtol, atol=max(1e-8, 1e-4 * scale), err_msg=name)
+        checked += 1
+    assert checked > 50  # the full tree, not a token sample
+
+
+def _copy_params_like(tree):
+    return jax.tree_util.tree_map(lambda x: np.array(np.asarray(x)), tree)
+
+
+def test_vlbart_gradient_parity(ref_vl):
+    """jax.grad ≡ torch autograd through the full VLBart hook chain (gates,
+    multihead adapters, VPA, LNs, embeddings — every leaf)."""
+    tm, mm, cfg, params, batch = vlbart_pair(ref_vl)
+    for p in tm.parameters():
+        p.requires_grad_(True)
+    tout = _run_torch_forward(tm, batch)
+    _masked_mean_scalar_torch(
+        tout.loss, torch.tensor(batch["labels"])).backward()
+    ref_grads = copy_vlbart_weights(
+        _grad_clone(tm), jax.tree_util.tree_map(np.zeros_like, params))
+
+    jax_grads = jax.grad(_jax_loss_fn(mm, batch))(params)
+    _assert_grad_tree_close(jax_grads, ref_grads)
+
+
+def test_vlt5_gradient_parity(ref_t5_vl):
+    """Same for VLT5 (relative bias, tied-head rescale, T5 hook chain)."""
+    tm, mm, cfg, params, batch = vlt5_pair(ref_t5_vl)
+    for p in tm.parameters():
+        p.requires_grad_(True)
+    tout = _run_torch_forward(tm, batch)
+    _masked_mean_scalar_torch(
+        tout.loss, torch.tensor(batch["labels"])).backward()
+    ref_grads = copy_vlt5_weights(
+        _grad_clone(tm), jax.tree_util.tree_map(np.zeros_like, params))
+
+    jax_grads = jax.grad(_jax_loss_fn(mm, batch))(params)
+    _assert_grad_tree_close(jax_grads, ref_grads)
+
+
+# ---------------------------------------------------------------------------
+# K-step AdamW lockstep
+# ---------------------------------------------------------------------------
+
+LR, WD, EPS, CLIP, TOTAL, WARMUP_RATIO, K = 5e-3, 0.01, 1e-6, 5.0, 10, 0.1, 5
+
+
+class _RefAdamW:
+    """transformers.optimization.AdamW (the exact optimizer the reference
+    builds at trainer_base.py:634-704; removed from transformers ≥4.56),
+    with get_linear_schedule_with_warmup's lambda and correct_bias=True."""
+
+    def __init__(self, params, b1=0.9, b2=0.999):
+        self.params = list(params)
+        self.b1, self.b2 = b1, b2
+        self.state = {id(p): {"step": 0, "m": torch.zeros_like(p),
+                              "v": torch.zeros_like(p)}
+                      for p, _ in self.params}
+
+    def step(self, lr):
+        for p, decay in self.params:
+            if p.grad is None:
+                continue
+            st = self.state[id(p)]
+            st["step"] += 1
+            g = p.grad
+            st["m"].mul_(self.b1).add_(g, alpha=1 - self.b1)
+            st["v"].mul_(self.b2).addcmul_(g, g, value=1 - self.b2)
+            denom = st["v"].sqrt().add_(EPS)
+            step_size = lr * (
+                (1 - self.b2 ** st["step"]) ** 0.5 / (1 - self.b1 ** st["step"]))
+            p.data.addcdiv_(st["m"], denom, value=-step_size)
+            if decay and WD > 0:
+                p.data.add_(p.data, alpha=-lr * WD)
+
+
+def _hf_lr(step):
+    warmup = max(1, int(TOTAL * WARMUP_RATIO))
+    if step < warmup:
+        return LR * step / warmup
+    return LR * max(0.0, (TOTAL - step) / (TOTAL - warmup))
+
+
+def test_vlbart_adamw_lockstep(ref_vl):
+    """5 coupled AdamW steps on fixed batches: the torch reference stack
+    (substring freezing via the SAME rules, reference AdamW + schedule +
+    clip 5) and the jax train step must produce the same loss trajectory
+    and the same final trainable params."""
+    from vlpet_tpu.train.freezing import (path_is_trainable, split_params,
+                                          trainable_mask)
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    tm, mm, cfg, params, batch = vlbart_pair(ref_vl)
+    pet = cfg.pet
+    # snapshot: the copied numpy leaves are VIEWS of torch tensor memory,
+    # and the torch loop below updates in place — materialize jax COPIES now
+    # (jnp.asarray can alias numpy memory zero-copy on CPU; jnp.array copies)
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+    # template for rebuilding torch-side trees later (the train step DONATES
+    # its state, deleting the buffers state.params aliased)
+    zeros_tmpl = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, np.asarray(x).dtype), params)
+
+    # --- freezing: identical substring rules on both sides ---------------
+    torch_trainable = []
+    for n, p in tm.named_parameters():
+        t = path_is_trainable(n, pet)
+        p.requires_grad_(t)
+        if t:
+            torch_trainable.append((n, p))
+    mask = trainable_mask(params, pet)
+    trainable, frozen = split_params(params, mask)
+    n_jax = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(trainable))
+    n_torch = sum(int(np.prod(tuple(p.shape))) for _, p in torch_trainable)
+    assert n_jax == n_torch, (n_jax, n_torch)
+
+    # --- torch loop ------------------------------------------------------
+    no_decay = ("bias", "LayerNorm.weight", "layer_norm.weight",
+                "layernorm_embedding.weight")
+
+    def decays(n):
+        # reference no_decay = ['bias', 'LayerNorm.weight']; this fork's
+        # LN attributes are lowercase *_layer_norm / layernorm_embedding
+        return not any(nd in n for nd in no_decay)
+
+    opt = _RefAdamW([(p, decays(n)) for n, p in torch_trainable])
+    scores = torch.ones(batch["labels"].shape[0])
+    tlosses = []
+    labels_t = torch.tensor(batch["labels"])
+    lmask = (labels_t != -100).float()
+    for i in range(K):
+        tout = _run_torch_forward(tm, batch)
+        per_tok = tout.loss.view(*labels_t.shape)
+        per_ex = (per_tok * lmask).sum(1) / lmask.sum(1).clamp(min=1.0)
+        loss = (per_ex * scores).mean()  # task_loss('vqa') semantics
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP)
+        opt.step(_hf_lr(i))
+        for p in tm.parameters():
+            p.grad = None
+        tlosses.append(float(loss))
+
+    # --- jax loop --------------------------------------------------------
+    tx = build_optimizer(trainable, lr=LR, total_steps=TOTAL,
+                         warmup_ratio=WARMUP_RATIO, weight_decay=WD,
+                         adam_eps=EPS, clip_grad_norm=CLIP)
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.asarray, trainable), tx)
+    step = make_train_step(mm, tx, ("vqa",))
+    jbatch = dict(
+        input_ids=jnp.asarray(batch["input_ids"], jnp.int32),
+        attention_mask=jnp.asarray(batch["attn"], jnp.int32),
+        vis_feats=jnp.asarray(batch["feats"]),
+        boxes=jnp.asarray(batch["boxes"]),
+        target_ids=jnp.asarray(batch["labels"], jnp.int32),
+        scores=jnp.ones((batch["labels"].shape[0],), jnp.float32))
+    jlosses = []
+    for i in range(K):
+        state, metrics = step(state, frozen, jbatch, jax.random.PRNGKey(0), 0)
+        jlosses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(jlosses, tlosses, rtol=1e-4,
+                               err_msg=f"jax={jlosses} torch={tlosses}")
+
+    # --- final trainable params track ------------------------------------
+    ref_final = copy_vlbart_weights(tm, zeros_tmpl)
+    ref_trainable, _ = split_params(ref_final, mask)
+    for (name, a), (_, b) in zip(_flat(state.params), _flat(ref_trainable)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=max(1e-8, 1e-5 * np.abs(b).max()),
+            err_msg=name)

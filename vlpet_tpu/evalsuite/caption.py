@@ -188,8 +188,29 @@ def _stems(tokens: List[str]) -> List[str]:
         return list(tokens)
 
 
-def _meteor_align(hyp: List[str], ref: List[str]):
-    """Greedy two-stage (exact, then stem) unigram alignment.
+def wordnet_synonyms(word: str) -> Optional[frozenset]:
+    """Synset-lemma set for the METEOR synonym stage, via nltk WordNet.
+
+    Returns None when the WordNet CORPUS DATA is unavailable (the nltk
+    package alone does not ship it; this environment has no egress to
+    `nltk.download`) — callers then skip the synonym stage. When the data
+    is present this reproduces Meteor's synonymy module: two words match
+    if they share any synset."""
+    try:
+        from nltk.corpus import wordnet
+
+        return frozenset(l.name().lower() for s in wordnet.synsets(word)
+                         for l in s.lemmas()) | frozenset([word])
+    except Exception:
+        return None
+
+
+def _meteor_align(hyp: List[str], ref: List[str], synonyms=None):
+    """Greedy staged unigram alignment: exact → Porter stem → synonym.
+
+    ``synonyms``: optional word → set-of-lemmas function (the Meteor
+    synonymy module; `wordnet_synonyms` when WordNet data is installed).
+    Two words synonym-match if either's set contains the other.
 
     Returns (matches, chunks): each hyp position maps to at most one ref
     position; chunks counts maximal runs that are contiguous AND in order
@@ -197,18 +218,30 @@ def _meteor_align(hyp: List[str], ref: List[str]):
     ref_used = [False] * len(ref)
     align = [-1] * len(hyp)
 
-    def stage(h_tokens, r_tokens):
+    def stage(h_tokens, r_tokens, match=None):
         for i, ht in enumerate(h_tokens):
             if align[i] >= 0:
                 continue
             for j, rt in enumerate(r_tokens):
-                if not ref_used[j] and ht == rt:
+                if ref_used[j]:
+                    continue
+                ok = (ht == rt) if match is None else match(ht, rt)
+                if ok:
                     align[i] = j
                     ref_used[j] = True
                     break
 
     stage(hyp, ref)
     stage(_stems(hyp), _stems(ref))
+    if synonyms is not None:
+        def syn_match(a, b):
+            if a == b:
+                return True
+            sa = synonyms(a)
+            sb = synonyms(b)
+            return bool(sa and b in sa) or bool(sb and a in sb)
+
+        stage(hyp, ref, syn_match)
     pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
     m = len(pairs)
     chunks = 0
@@ -221,25 +254,36 @@ def _meteor_align(hyp: List[str], ref: List[str]):
 
 
 def meteor(predicts: List[str], references: List[List[str]],
-           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5) -> float:
-    """Corpus METEOR with exact + Porter-stem matching.
+           alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
+           synonyms="auto") -> float:
+    """Corpus METEOR with exact + Porter-stem + WordNet-synonym matching.
 
     Classic Banerjee & Lavie (2005) scoring: Fmean = P*R/(alpha*P +
     (1-alpha)*R) (alpha=0.9 == the original 10PR/(R+9P)), fragmentation
     penalty gamma*(chunks/m)**beta, best reference per segment, statistics
-    aggregated over the corpus (as the Java Meteor jar does). Differences
-    vs the reference's Java Meteor-1.5 (requirements.txt:14): no WordNet
-    synonym/paraphrase stages and no stage weights — scores track but do
-    not exactly equal the Java numbers; SPICE genuinely requires the Java
-    toolchain and stays None.
+    aggregated over the corpus (as the Java Meteor jar does).
+
+    ``synonyms``: "auto" uses `wordnet_synonyms` when the WordNet corpus
+    data is installed (nltk alone does not ship it; it is absent in a
+    no-egress environment — the stage then silently disables); pass a
+    callable to inject a synonym table, or None to force exact+stem only.
+
+    Remaining deltas vs the reference's Java Meteor-1.5
+    (requirements.txt:14): no paraphrase-table stage, no per-stage match
+    weights (1.0/0.6/0.8), no function-word discounting — scores track but
+    do not exactly equal the Java numbers. SPICE genuinely requires the
+    Java scene-graph pipeline and stays None (see COCOCaptionEvaluator).
     """
+    if synonyms == "auto":
+        synonyms = (wordnet_synonyms
+                    if wordnet_synonyms("car") is not None else None)
     tm = th = tr = tch = 0.0
     for pred, refs in zip(predicts, references):
         hyp_t = ptb_tokenize(pred)
         best = None  # (score, m, hyp_len, ref_len, chunks)
         for ref in refs:
             ref_t = ptb_tokenize(ref)
-            m, ch = _meteor_align(hyp_t, ref_t)
+            m, ch = _meteor_align(hyp_t, ref_t, synonyms)
             if m == 0 or not hyp_t or not ref_t:
                 cand = (0.0, 0, len(hyp_t), len(ref_t), 0)
             else:
@@ -291,5 +335,14 @@ class COCOCaptionEvaluator:
         if "METEOR" in self.coco_types:
             results["METEOR"] = meteor(predicts, refs)
         if "SPICE" in self.coco_types:
-            results["SPICE"] = None  # scene-graph parser is Java-only
+            # SPICE stance (4 of 5 coco metrics implemented): SPICE requires
+            # the Stanford scene-graph parser — a Java pipeline with bundled
+            # CoreNLP models — which cannot be reimplemented faithfully in
+            # pure Python nor installed here. Reported as None, NEVER as 0,
+            # so aggregation code cannot silently average it in. Accuracy
+            # impact: SPICE correlates with CIDEr (both reward semantic
+            # content); published VL-PET caption comparisons lead with
+            # CIDEr/BLEU-4, which this suite computes — only the SPICE
+            # column of reference Table 3 has no counterpart.
+            results["SPICE"] = None
         return results

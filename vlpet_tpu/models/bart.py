@@ -107,7 +107,7 @@ class ResidualDropoutLayerNorm(nn.Module):
 
     rate: float
     dtype: Any = jnp.float32
-    epsilon: float = 1e-6
+    epsilon: float = 1e-5  # torch nn.LayerNorm default (HF BART)
 
     @nn.compact
     def __call__(self, h: Array, residual: Array,
@@ -515,7 +515,7 @@ class BartEncoderLayer(nn.Module):
                 else:
                     h = h + h * g.astype(h.dtype)
             elif p.use_encoder_adapter_gating_layernorm:
-                h = nn.LayerNorm(dtype=dt, name=f"encoder_{prefix}_adapter_gating_layernorm")(h)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name=f"encoder_{prefix}_adapter_gating_layernorm")(h)
             elif p.use_encoder_adapter_gating_l2norm:
                 h = h / jnp.clip(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
             if gate is not None:
@@ -895,7 +895,7 @@ class JointEncoder(nn.Module):
             if vis_attention_mask is None:
                 vis_attention_mask = jnp.ones((B, vf.shape[1]),
                                               attention_mask.dtype)
-            h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(inputs_embeds)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layernorm_embedding")(inputs_embeds)
             joint_mask = attention_mask
         elif not v.no_vis and vis_feats is not None:
             vis_inputs = (vis_feats, boxes)
@@ -928,16 +928,16 @@ class JointEncoder(nn.Module):
             V_L = vis_embeds.shape[1]
             if v.share_vis_lang_layer_norm:
                 h = jnp.concatenate([inputs_embeds, vis_embeds], axis=1)
-                h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(h)
+                h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layernorm_embedding")(h)
             else:
-                inputs_embeds = nn.LayerNorm(dtype=dt,
+                inputs_embeds = nn.LayerNorm(epsilon=1e-5, dtype=dt,
                                              name="layernorm_embedding")(inputs_embeds)
                 h = jnp.concatenate([inputs_embeds, vis_embeds], axis=1)
             if vis_attention_mask is None:
                 vis_attention_mask = jnp.ones((B, V_L), attention_mask.dtype)
             joint_mask = jnp.concatenate([attention_mask, vis_attention_mask], axis=1)
         else:
-            h = nn.LayerNorm(dtype=dt, name="layernorm_embedding")(inputs_embeds)
+            h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layernorm_embedding")(inputs_embeds)
             joint_mask = attention_mask
 
         h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
@@ -1011,7 +1011,7 @@ class BartDecoder(nn.Module):
         p = c.pet
         self.embed_positions = self.param("embed_positions", normal_init(b.init_std),
                                           (b.max_position_embeddings + 2, b.d_model))
-        self.layernorm_embedding = nn.LayerNorm(dtype=self._dtype,
+        self.layernorm_embedding = nn.LayerNorm(epsilon=1e-5, dtype=self._dtype,
                                                 name="layernorm_embedding")
         self.emb_dropout = nn.Dropout(rate=b.dropout)
         layer_cls = BartDecoderLayer

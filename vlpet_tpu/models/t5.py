@@ -411,25 +411,36 @@ class T5Block(nn.Module):
 
     def _ff(self, x: Array, deterministic: bool) -> Array:
         b: T5Config = self.cfg.backbone
-        if b.feed_forward_proj != "gated-gelu" and self.cfg.use_fused_ffn:
-            from vlpet_tpu.ops.ffn import ffn_supported, fused_ffn
+        gated = b.feed_forward_proj == "gated-gelu"
+        if self.cfg.use_fused_ffn:
+            from vlpet_tpu.ops.ffn import (ffn_supported, fused_ffn,
+                                           fused_gated_ffn)
 
-            if ffn_supported(self.cfg, "relu"):
-                # Pallas fused wi→relu→dropout→wo: the (·, d_ff) hidden and
-                # its dropout mask never touch HBM (ops/ffn.py)
-                k1, _ = self.wi.kb()
-                k2, _ = self.wo.kb()
+            act = "gelu_new" if gated else "relu"
+            if ffn_supported(self.cfg, act):
+                # Pallas fused FFN: the (·, d_ff) hidden(s) and the dropout
+                # mask never touch HBM (ops/ffn.py); the gated t5-1.1 form
+                # keeps all three weight matrices VMEM-resident
                 d, F = b.d_model, b.d_ff
                 rate = 0.0 if deterministic else b.dropout_rate
                 seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                            jnp.iinfo(jnp.int32).max,
                                            dtype=jnp.int32)
                         if rate > 0.0 else None)
+                if gated:
+                    k0, _ = self.wi_0.kb()
+                    k1g, _ = self.wi_1.kb()
+                    ko, _ = self.wo.kb()
+                    return fused_gated_ffn(x.reshape(-1, d), k0, k1g, ko,
+                                           "gelu_new", rate,
+                                           seed).reshape(x.shape)
+                k1, _ = self.wi.kb()
+                k2, _ = self.wo.kb()
                 zf = jnp.zeros((F,), jnp.float32)
                 zd = jnp.zeros((d,), jnp.float32)
                 return fused_ffn(x.reshape(-1, d), k1, zf, k2, zd, "relu",
                                  rate, seed).reshape(x.shape)
-        if b.feed_forward_proj == "gated-gelu":
+        if gated:
             h = get_activation("gelu_new")(self.wi_0(x)) * self.wi_1(x)
         else:
             h = jax.nn.relu(self.wi(x))

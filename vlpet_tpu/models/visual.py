@@ -141,7 +141,7 @@ class VisualEmbedding(nn.Module):
     def _ln(self, name):
         if self.t5_style_ln:
             return nn.RMSNorm(epsilon=1e-6, dtype=self.dtype, name=name)
-        return nn.LayerNorm(dtype=self.dtype, name=name)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, feats: Array, pos: Array, embedding_table: Array,
@@ -197,7 +197,7 @@ class LowRankVisualEmbedding(nn.Module):
     def _ln(self, name):
         if self.t5_style_ln:
             return nn.RMSNorm(epsilon=1e-6, dtype=self.dtype, name=name)
-        return nn.LayerNorm(dtype=self.dtype, name=name)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
 
     @nn.compact
     def __call__(self, feats: Array, pos: Array, embedding_table: Array,
@@ -287,5 +287,5 @@ class ExpandVisualEmbedding(nn.Module):
                         name="feat_embedding")(feats.astype(self.dtype))
         out = out.reshape(B, -1, self.d_model)
         if v.use_vis_layer_norm:
-            out = nn.LayerNorm(dtype=self.dtype, name="layer_norm")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="layer_norm")(out)
         return out

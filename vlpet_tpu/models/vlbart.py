@@ -317,7 +317,7 @@ class AnswerHead(nn.Module):
         h = TaskDense(self.d_model, self.d_model * 2, init_std=self.init_std,
                       name="fc1")(x)
         h = get_activation("gelu")(h)
-        h = nn.LayerNorm(name="mlp_layer_norm")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="mlp_layer_norm")(h)
         return TaskDense(self.d_model * 2, self.num_answers,
                          init_std=self.init_std, name="fc2")(h)
 

@@ -86,15 +86,20 @@ def _act_grad(h, kind: str):
     return (h > 0.0).astype(h.dtype)
 
 
-def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0) -> int:
+def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0,
+              n_w: int = 2, hid_f32: int = 1) -> int:
     """Largest row tile whose VMEM residency (weights + x/h/y tiles) fits.
+
+    ``n_w`` weight matrices of d×f bf16 stay resident; ``hid_f32`` counts
+    the fp32 (·, f) hidden intermediates live at once (2 for the gated
+    variant: both wi_0 and wi_1 products).
 
     Power-of-two tiles only: Mosaic's scoped-vmem stack allocation blows
     past the 16 MB limit for other sizes (tb 80/112/160 all fail compile
     where 128 fits — scripts/probe_ffn_tile.py)."""
-    weights = 2 * (d * f + f * d)  # bf16
+    weights = 2 * n_w * d * f  # bf16
     for tb in (512, 256, 128, 64, 32, 16, 8):
-        tile = tb * (d * 2 + f * 4 + f * 2 + d * 4)  # x bf16, h f32+bf16, y f32
+        tile = tb * (d * 2 + f * 4 * hid_f32 + f * 2 + d * 4)
         if weights + tile <= budget_mb * 1024 * 1024:
             return tb
     return 8
@@ -166,7 +171,8 @@ def _pad_rows(x: Array, tb: int):
 
 
 def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim,
-         rate: float = 0.0, seed=None, acc_dims=()):
+         rate: float = 0.0, seed=None, acc_dims=(), n_w: int = 2,
+         hid_f32: int = 1):
     """row_inputs are (N, ·) tensors sliced per grid row-tile; full_inputs
     (weights/biases) live whole in VMEM across the sequential grid.
 
@@ -178,7 +184,7 @@ def _run(kernel, act, row_inputs, full_inputs, d_hidden, out_dim,
     (scripts/probe_ffn_tile.py)."""
     n0 = row_inputs[0].shape[0]
     d = row_inputs[0].shape[1]
-    tb = _row_tile(n0, d, d_hidden)
+    tb = _row_tile(n0, d, d_hidden, n_w=n_w, hid_f32=hid_f32)
     padded = []
     for t in row_inputs:
         t, _ = _pad_rows(t, tb)
@@ -248,6 +254,92 @@ def _bwd(act, rate, res, dy):
 
 
 fused_ffn.defvjp(_fwd, _bwd)
+
+
+# ---------------------------------------------------------------------------
+# Gated variant: y = drop(act(x @ w0) * (x @ w1)) @ wo  (t5-1.1 gated-gelu,
+# reference: my_transformers/modeling_t5.py:270 T5DenseGatedGeluDense).
+# T5 dense layers carry no biases, so only dx is emitted; weights are frozen
+# (guarded by ffn_supported, same rule as the 2-matrix kernel).
+# ---------------------------------------------------------------------------
+
+
+def _gated_fwd_kernel(act: str, rate: float, *refs):
+    if rate > 0.0:
+        seed_ref, x_ref, w0_ref, w1_ref, wo_ref, y_ref = refs
+    else:
+        x_ref, w0_ref, w1_ref, wo_ref, y_ref = refs
+    h0 = jax.lax.dot_general(x_ref[...], w0_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h1 = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    g = _act(h0, act) * h1
+    if rate > 0.0:
+        row_base = pl.program_id(0) * x_ref.shape[0]
+        keep = keep_mask(g.shape, row_base, seed_ref[0], rate)
+        g = jnp.where(keep, g * (1.0 / (1.0 - rate)), 0.0)
+    y = jax.lax.dot_general(g.astype(x_ref.dtype), wo_ref[...],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    y_ref[...] = y.astype(y_ref.dtype)
+
+
+def _gated_bwd_kernel(act: str, rate: float, *refs):
+    if rate > 0.0:
+        seed_ref, x_ref, dy_ref, w0_ref, w1_ref, wo_ref, dx_ref = refs
+    else:
+        x_ref, dy_ref, w0_ref, w1_ref, wo_ref, dx_ref = refs
+    pid = pl.program_id(0)
+    # recompute both wi products (two extra MXU passes — nothing saved)
+    h0 = jax.lax.dot_general(x_ref[...], w0_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    h1 = jax.lax.dot_general(x_ref[...], w1_ref[...], (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dg = jax.lax.dot_general(dy_ref[...], wo_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if rate > 0.0:
+        row_base = pid * x_ref.shape[0]
+        keep = keep_mask(dg.shape, row_base, seed_ref[0], rate)
+        dg = jnp.where(keep, dg * (1.0 / (1.0 - rate)), 0.0)
+    a = _act(h0, act)
+    dh0 = (dg * h1 * _act_grad(h0, act)).astype(x_ref.dtype)
+    dh1 = (dg * a).astype(x_ref.dtype)
+    dx = jax.lax.dot_general(dh0, w0_ref[...], (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dx += jax.lax.dot_general(dh1, w1_ref[...], (((1,), (1,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    dx_ref[...] = dx.astype(dx_ref.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def fused_gated_ffn(x: Array, w0: Array, w1: Array, wo: Array,
+                    act: str = "gelu_new", rate: float = 0.0,
+                    seed: Optional[Array] = None) -> Array:
+    """y = drop(act(x @ w0) * (x @ w1); rate) @ wo with frozen weights
+    (zero cotangents — gate with ``ffn_supported``). x (N, D); w0/w1 (D, F);
+    wo (F, D). ``rate`` > 0 fuses the hidden dropout via the hash mask."""
+    w0 = w0.astype(x.dtype)
+    w1 = w1.astype(x.dtype)
+    wo = wo.astype(x.dtype)
+    return _run(_gated_fwd_kernel, act, [x], [w0, w1, wo], w0.shape[1],
+                wo.shape[1], rate, seed, n_w=3, hid_f32=2)
+
+
+def _gated_fwd(x, w0, w1, wo, act, rate, seed):
+    y = fused_gated_ffn(x, w0, w1, wo, act, rate, seed)
+    return y, (x, w0, w1, wo, seed)
+
+
+def _gated_bwd(act, rate, res, dy):
+    x, w0, w1, wo, seed = res
+    dx = _run(_gated_bwd_kernel, act, [x, dy.astype(x.dtype)],
+              [w0.astype(x.dtype), w1.astype(x.dtype), wo.astype(x.dtype)],
+              w0.shape[1], w0.shape[0], rate, seed, n_w=3, hid_f32=2)
+    return (dx, jnp.zeros_like(w0), jnp.zeros_like(w1), jnp.zeros_like(wo),
+            None)
+
+
+fused_gated_ffn.defvjp(_gated_fwd, _gated_bwd)
 
 
 def ffn_supported(cfg, act: str) -> bool:

@@ -498,7 +498,7 @@ class AdapterController(nn.Module):
         s = self.spec
         z = inputs
         if s.add_layer_norm_before_adapter:
-            z = nn.LayerNorm(dtype=self.dtype, name="pre_layer_norm")(z)
+            z = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="pre_layer_norm")(z)
         if s.kind == "compacter":
             out = HyperComplexAdapter(s, dtype=self.dtype, name="adapters")(
                 z, ctx.task_idx, phm_rule=ctx.phm_rule, phm_W=ctx.phm_W)
@@ -510,7 +510,7 @@ class AdapterController(nn.Module):
         if s.use_scaling_factor:
             out = out * s.scaling_factor
         if s.add_layer_norm_after_adapter:
-            out = nn.LayerNorm(dtype=self.dtype, name="post_layer_norm")(out)
+            out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="post_layer_norm")(out)
         if s.use_parallel_adapter:
             assert y is not None, "parallel adapter needs the wrapped output y"
             return out + y

@@ -52,109 +52,121 @@ def _is_layer_norm(name: str) -> bool:
     return "layer_norm" in name or "layernorm" in name
 
 
+def path_is_trainable(name: str, pet: PetConfig) -> bool:
+    """Substring trainability decision for one param path. Public so the
+    oracle-parity tests can apply the IDENTICAL rules to the reference's
+    torch ``named_parameters`` names (module naming mirrors the reference,
+    so the same substrings select the same tensors on both sides)."""
+    return _decide(name, pet)
+
+
 def trainable_mask(params, pet: PetConfig) -> Any:
     """Boolean pytree: True = trainable. Rule order follows
     trainer_base.py:308-542 (all rules are additive unfreezes over a
     freeze-everything base)."""
 
     def decide(name: str) -> bool:
-        if _BUFFER_RE.search(name):
-            return False
-        t = False
-        if not pet.freeze_vis_emb and "visual_embedding" in name:
-            t = True
-        if pet.unfreeze_language_model:
-            # lm_head/shared + every encoder/decoder param
-            if ("lm_head" in name or "shared" in name
-                    or ".encoder." in name or ".decoder." in name):
-                t = True
-        if pet.unfreeze_lm_head and ("lm_head" in name or name.endswith("shared")
-                                     or ".shared" in name):
-            t = True
-        if pet.use_lora and ("lora" in name or "bias" in name):
-            t = True
-        if (pet.encoder_prompt_len > 0 or pet.decoder_prompt_len > 0) \
-                and ("prompt_modules" in name or "prefix_embedding" in name):
-            t = True
-        if pet.use_vis_adapter and "vis_encoder" in name and re.search(
-                r"(front|middle|back|transition)_adapter", name):
-            t = True
-        if pet.unfreeze_vis_encoder and "vis_encoder" in name:
-            t = True
-        if pet.unfreeze_vis_last_layer and "vis_encoder" in name and "layer4" in name:
-            t = True
-        if pet.unfreeze_layer_norms and _is_layer_norm(name):
-            t = True
-        if pet.unfreeze_batch_norms and "batch_norm" in name:
-            t = True
-        if (pet.use_adapter or pet.use_compacter or pet.use_lradapter) \
-                and _CONTROLLER_RE.search(name):
-            t = True
-        if pet.use_lm_head_adapter and "output_adapter" in name:
-            t = True
-        if pet.use_hyperformer and ("shared_task_embed" in name
-                                    or "adapter_layers_hyper_net" in name):
-            t = True
-        if pet.use_compacter and "phm_rule" in name and pet.learn_phm:
-            t = True
-        if pet.use_compacter and "phm_W_" in name:
-            t = True  # model-shared Compacter slow weights (shared_W_phm)
-        if pet.unfreeze_encoder_layer_norms and "encoder." in name and _is_layer_norm(name):
-            t = True
-        if pet.unfreeze_decoder_layer_norms and "decoder." in name and _is_layer_norm(name):
-            t = True
-        if pet.unfreeze_decoder_input_layer_norms and "decoder." in name \
-                and "layernorm_embedding" in name:
-            t = True
-        if pet.unfreeze_decoder_self_attn_layer_norms and "decoder." in name \
-                and "self_attn_layer_norm" in name:
-            t = True
-        if pet.unfreeze_decoder_encoder_attn_layer_norms and "decoder." in name \
-                and "encoder_attn_layer_norm" in name:
-            t = True
-        if pet.unfreeze_decoder_ff_layer_norms and "decoder." in name \
-                and "final_layer_norm" in name:
-            t = True
-        if pet.unfreeze_bias and "bias" in name:
-            t = True
-        if pet.unfreeze_encoder_bias and "encoder." in name and "bias" in name:
-            t = True
-        if pet.unfreeze_decoder_bias and "decoder." in name and "bias" in name:
-            t = True
-        if (pet.use_encoder_adapter_gating_large_x
-                or pet.use_encoder_adapter_gating_large_x_lowrank
-                or pet.use_encoder_gating_large_x_lowrank
-                or pet.use_decoder_enc_attn_adapter_gating_large_x_lowrank
-                or pet.use_encoder_adapter_gating_small_xy_cat
-                or pet.use_encoder_adapter_gating_middle_xy_add
-                or pet.use_encoder_adapter_gating_middle_ia3_add) and "gating" in name:
-            t = True
-        if (pet.use_decoder_enc_attn_value_parallel_adapter_down_dim
-                or pet.use_decoder_enc_attn_key_parallel_adapter_down_dim
-                or pet.use_decoder_enc_attn_key_value_adapter_down_dim
-                or pet.use_decoder_enc_attn_adapter_down_dim
-                or pet.use_decoder_enc_attn_value_sequential_adapter_down_dim
-                or pet.use_encoder_attn_value_parallel_adapter_down_dim
-                or pet.use_encoder_adapter_down_multihead
-                or pet.use_encoder_adapter_up_multihead
-                or pet.use_encoder_adapter_down_up_multihead
-                or pet.use_encoder_adapter_down_up_pair_multihead
-                or pet.use_decoder_enc_attn_value_parallel_adapter_down_multihead
-                or pet.use_decoder_enc_attn_value_parallel_adapter_down_up_pair_multihead
-                or pet.use_decoder_self_attn_value_parallel_adapter_down_dim
-                or pet.use_decoder_self_attn_adapter_down_dim
-                or pet.use_decoder_ff_adapter_down_dim
-                or pet.use_decoder_adapter_down_multihead) and "adapter" in name:
-            t = True
-        if (pet.use_decoder_enc_attn_value_ia3 or pet.use_encoder_attn_value_ia3
-                or pet.use_decoder_self_attn_value_ia3
-                or pet.use_decoder_ff_ia3) and "ia3" in name:
-            t = True
-        return t
+        return _decide(name, pet)
 
     flat = jax.tree_util.tree_flatten_with_path(params)
     leaves = [decide(path_str(p)) for p, _ in flat[0]]
     return jax.tree_util.tree_unflatten(flat[1], leaves)
+
+
+def _decide(name: str, pet: PetConfig) -> bool:
+    if _BUFFER_RE.search(name):
+        return False
+    t = False
+    if not pet.freeze_vis_emb and "visual_embedding" in name:
+        t = True
+    if pet.unfreeze_language_model:
+        # lm_head/shared + every encoder/decoder param
+        if ("lm_head" in name or "shared" in name
+                or ".encoder." in name or ".decoder." in name):
+            t = True
+    if pet.unfreeze_lm_head and ("lm_head" in name or name.endswith("shared")
+                                 or ".shared" in name):
+        t = True
+    if pet.use_lora and ("lora" in name or "bias" in name):
+        t = True
+    if (pet.encoder_prompt_len > 0 or pet.decoder_prompt_len > 0) \
+            and ("prompt_modules" in name or "prefix_embedding" in name):
+        t = True
+    if pet.use_vis_adapter and "vis_encoder" in name and re.search(
+            r"(front|middle|back|transition)_adapter", name):
+        t = True
+    if pet.unfreeze_vis_encoder and "vis_encoder" in name:
+        t = True
+    if pet.unfreeze_vis_last_layer and "vis_encoder" in name and "layer4" in name:
+        t = True
+    if pet.unfreeze_layer_norms and _is_layer_norm(name):
+        t = True
+    if pet.unfreeze_batch_norms and "batch_norm" in name:
+        t = True
+    if (pet.use_adapter or pet.use_compacter or pet.use_lradapter) \
+            and _CONTROLLER_RE.search(name):
+        t = True
+    if pet.use_lm_head_adapter and "output_adapter" in name:
+        t = True
+    if pet.use_hyperformer and ("shared_task_embed" in name
+                                or "adapter_layers_hyper_net" in name):
+        t = True
+    if pet.use_compacter and "phm_rule" in name and pet.learn_phm:
+        t = True
+    if pet.use_compacter and "phm_W_" in name:
+        t = True  # model-shared Compacter slow weights (shared_W_phm)
+    if pet.unfreeze_encoder_layer_norms and "encoder." in name and _is_layer_norm(name):
+        t = True
+    if pet.unfreeze_decoder_layer_norms and "decoder." in name and _is_layer_norm(name):
+        t = True
+    if pet.unfreeze_decoder_input_layer_norms and "decoder." in name \
+            and "layernorm_embedding" in name:
+        t = True
+    if pet.unfreeze_decoder_self_attn_layer_norms and "decoder." in name \
+            and "self_attn_layer_norm" in name:
+        t = True
+    if pet.unfreeze_decoder_encoder_attn_layer_norms and "decoder." in name \
+            and "encoder_attn_layer_norm" in name:
+        t = True
+    if pet.unfreeze_decoder_ff_layer_norms and "decoder." in name \
+            and "final_layer_norm" in name:
+        t = True
+    if pet.unfreeze_bias and "bias" in name:
+        t = True
+    if pet.unfreeze_encoder_bias and "encoder." in name and "bias" in name:
+        t = True
+    if pet.unfreeze_decoder_bias and "decoder." in name and "bias" in name:
+        t = True
+    if (pet.use_encoder_adapter_gating_large_x
+            or pet.use_encoder_adapter_gating_large_x_lowrank
+            or pet.use_encoder_gating_large_x_lowrank
+            or pet.use_decoder_enc_attn_adapter_gating_large_x_lowrank
+            or pet.use_encoder_adapter_gating_small_xy_cat
+            or pet.use_encoder_adapter_gating_middle_xy_add
+            or pet.use_encoder_adapter_gating_middle_ia3_add) and "gating" in name:
+        t = True
+    if (pet.use_decoder_enc_attn_value_parallel_adapter_down_dim
+            or pet.use_decoder_enc_attn_key_parallel_adapter_down_dim
+            or pet.use_decoder_enc_attn_key_value_adapter_down_dim
+            or pet.use_decoder_enc_attn_adapter_down_dim
+            or pet.use_decoder_enc_attn_value_sequential_adapter_down_dim
+            or pet.use_encoder_attn_value_parallel_adapter_down_dim
+            or pet.use_encoder_adapter_down_multihead
+            or pet.use_encoder_adapter_up_multihead
+            or pet.use_encoder_adapter_down_up_multihead
+            or pet.use_encoder_adapter_down_up_pair_multihead
+            or pet.use_decoder_enc_attn_value_parallel_adapter_down_multihead
+            or pet.use_decoder_enc_attn_value_parallel_adapter_down_up_pair_multihead
+            or pet.use_decoder_self_attn_value_parallel_adapter_down_dim
+            or pet.use_decoder_self_attn_adapter_down_dim
+            or pet.use_decoder_ff_adapter_down_dim
+            or pet.use_decoder_adapter_down_multihead) and "adapter" in name:
+        t = True
+    if (pet.use_decoder_enc_attn_value_ia3 or pet.use_encoder_attn_value_ia3
+            or pet.use_decoder_self_attn_value_ia3
+            or pet.use_decoder_ff_ia3) and "ia3" in name:
+        t = True
+    return t
 
 
 def weight_initialization(params, pet: PetConfig):

@@ -13,9 +13,10 @@ are never materialized — the north-star memory property.
 from __future__ import annotations
 
 import re
-from typing import Any, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
+import jax.numpy as jnp
 import optax
 
 
@@ -44,15 +45,69 @@ def linear_warmup_schedule(lr: float, total_steps: int, warmup_ratio: float = 0.
         [warmup_steps])
 
 
+class HFAdamWState(NamedTuple):
+    count: jax.Array
+    mu: Any
+    nu: Any
+
+
+def hf_adamw(schedule, b1: float = 0.9, b2: float = 0.999, eps: float = 1e-6,
+             weight_decay: float = 0.01, mask=None
+             ) -> optax.GradientTransformation:
+    """transformers.optimization.AdamW semantics, exactly (the optimizer the
+    reference instantiates at trainer_base.py:634-704; removed from
+    transformers ≥4.56 — re-implemented from its published update rule).
+
+    Differences from optax.adamw that matter for trajectory parity:
+    * eps is added to sqrt(nu) BEFORE bias correction — the bias correction
+      rides in step_size = lr·sqrt(1−b2^t)/(1−b1^t), so the effective eps
+      is larger by 1/sqrt(1−b2^t) early in training;
+    * decoupled weight decay is applied AFTER the Adam update, to the
+      already-updated parameter, scaled by the scheduled lr.
+    """
+    mask_tree = mask
+
+    def init(params):
+        z = jax.tree_util.tree_map(jnp.zeros_like, params)
+        return HFAdamWState(count=jnp.zeros((), jnp.int32), mu=z,
+                            nu=jax.tree_util.tree_map(jnp.zeros_like, params))
+
+    def update(grads, state, params):
+        count = state.count + 1
+        t = count.astype(jnp.float32)
+        lr = schedule(state.count)
+        mu = jax.tree_util.tree_map(
+            lambda m, g: b1 * m + (1.0 - b1) * g, state.mu, grads)
+        nu = jax.tree_util.tree_map(
+            lambda v, g: b2 * v + (1.0 - b2) * g * g, state.nu, grads)
+        step_size = lr * jnp.sqrt(1.0 - b2 ** t) / (1.0 - b1 ** t)
+
+        def one(m, v, p, decayed):
+            adam = -step_size * m / (jnp.sqrt(v) + eps)
+            if weight_decay > 0.0 and decayed:
+                # decay the post-adam-update parameter (reference order)
+                return adam - lr * weight_decay * (p + adam)
+            return adam
+
+        if mask_tree is not None:
+            updates = jax.tree_util.tree_map(one, mu, nu, params, mask_tree)
+        else:
+            updates = jax.tree_util.tree_map(
+                lambda m, v, p: one(m, v, p, True), mu, nu, params)
+        return updates, HFAdamWState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init, update)
+
+
 def build_optimizer(trainable_params, *, lr: float, total_steps: int,
                     warmup_ratio: float = 0.1, weight_decay: float = 0.01,
                     adam_beta1: float = 0.9, adam_beta2: float = 0.999,
                     adam_eps: float = 1e-6, clip_grad_norm: float = 5.0,
                     schedule=None) -> optax.GradientTransformation:
     sched = schedule or linear_warmup_schedule(lr, total_steps, warmup_ratio)
-    tx = optax.adamw(sched, b1=adam_beta1, b2=adam_beta2, eps=adam_eps,
-                     weight_decay=weight_decay,
-                     mask=decay_mask(trainable_params))
+    tx = hf_adamw(sched, b1=adam_beta1, b2=adam_beta2, eps=adam_eps,
+                  weight_decay=weight_decay,
+                  mask=decay_mask(trainable_params))
     if clip_grad_norm and clip_grad_norm > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip_grad_norm), tx)
     return tx

@@ -250,11 +250,11 @@ class ResidualAttentionBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x: Array) -> Array:
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_1")(x)
         h = nn.MultiHeadDotProductAttention(
             num_heads=self.n_head, dtype=self.dtype, name="attn")(h, h)
         x = x + h
-        h = nn.LayerNorm(dtype=self.dtype, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(self.d_model * 4, dtype=self.dtype, name="c_fc")(h)
         h = QuickGELU()(h)
         h = nn.Dense(self.d_model, dtype=self.dtype, name="c_proj")(h)
@@ -293,11 +293,11 @@ class VisualTransformer(nn.Module):
         if pos.shape[0] != x.shape[1]:
             pos = resize_pos_embed(pos, x.shape[1])
         x = x + pos[None].astype(x.dtype)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_pre")(x)
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, self.dtype,
                                        name=f"resblocks_{i}")(x)
-        x = nn.LayerNorm(dtype=self.dtype, name="ln_post")(x)
+        x = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="ln_post")(x)
         return x[:, 1:], x[:, 0]
 
 

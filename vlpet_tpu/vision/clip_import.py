@@ -138,6 +138,55 @@ def clip_torch_to_flax(state_dict: Dict[str, Any], variables: Dict[str, Any],
             continue
         if k == "proj":  # unused by the grid-feature wrapper
             continue
+        # ViT residual blocks: transformer.resblocks.{i}.<...> → resblocks_{i}
+        m = re.match(r"transformer\.resblocks\.(\d+)\.(.*)", k)
+        if m:
+            blk, rest = m.groups()
+            bname = f"resblocks_{blk}"
+            lm = re.match(r"(ln_1|ln_2)\.(weight|bias)", rest)
+            if lm:
+                mod, leaf = lm.groups()
+                put(params, base + (bname, mod,
+                                    "scale" if leaf == "weight" else "bias"),
+                    v, key)
+                continue
+            mm = re.match(r"mlp\.(c_fc|c_proj)\.(weight|bias)", rest)
+            if mm:
+                mod, leaf = mm.groups()
+                if leaf == "weight":
+                    put(params, base + (bname, mod, "kernel"), v.T, key)
+                else:
+                    put(params, base + (bname, mod, "bias"), v, key)
+                continue
+            # torch nn.MultiheadAttention fused qkv → flax MHA DenseGeneral:
+            # query/key/value kernels are (d, heads, head_dim); out kernel
+            # is (heads, head_dim, d)
+            attn_tpl = params.get(base + (bname, "attn", "query", "kernel"))
+            if attn_tpl is None:
+                skipped.append(key)
+                continue
+            d, heads, hd = attn_tpl.shape
+            if rest == "attn.in_proj_weight":
+                for name, w in zip(("query", "key", "value"),
+                                   np.split(v, 3, axis=0)):
+                    put(params, base + (bname, "attn", name, "kernel"),
+                        w.T.reshape(d, heads, hd), key)
+                continue
+            if rest == "attn.in_proj_bias":
+                for name, b in zip(("query", "key", "value"),
+                                   np.split(v, 3, axis=0)):
+                    put(params, base + (bname, "attn", name, "bias"),
+                        b.reshape(heads, hd), key)
+                continue
+            if rest == "attn.out_proj.weight":
+                put(params, base + (bname, "attn", "out", "kernel"),
+                    v.T.reshape(heads, hd, d), key)
+                continue
+            if rest == "attn.out_proj.bias":
+                put(params, base + (bname, "attn", "out", "bias"), v, key)
+                continue
+            skipped.append(key)
+            continue
         skipped.append(key)
 
     new_vars = dict(variables)
