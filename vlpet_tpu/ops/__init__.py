@@ -1,4 +1,3 @@
 """Pallas TPU kernels for hot PET ops."""
 
 from vlpet_tpu.ops.attention import fused_attention, fused_attention_reference
-from vlpet_tpu.ops.fused_pet import fused_multihead_adapter_gate
