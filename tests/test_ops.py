@@ -572,3 +572,58 @@ def test_fused_gated_ffn_matches_reference():
                                        rtol=2e-4, atol=2e-4)
     finally:
         F._INTERPRET = False
+
+
+def test_beam_decode_attend_update_matches_dus_path():
+    """ops/decode.py fused attend+cache-write (interpret mode): must equal
+    the reference two-step path (XLA dus of the new KV at [pos], then
+    beam_decode_attend with the full l<=pos mask), and the aliased cache
+    outputs must hold the new row at [pos] with all other rows untouched.
+    Covers the T5 own-position bias term too."""
+    import vlpet_tpu.ops.decode as D
+
+    D._INTERPRET = True
+    try:
+        rng = np.random.default_rng(5)
+        B, K, H, Dh, L = 8, 3, 2, 8, 6
+        J = K
+        inner = H * Dh
+        pos = 3
+        mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.5, jnp.float32)
+        q = mk(B * K, 1, H, Dh)
+        k_cache = mk(L, B * J, H, Dh)
+        v_cache = mk(L, B * J, H, Dh)
+        k_new = mk(B * K, 1, H, Dh)
+        v_new = mk(B * K, 1, H, Dh)
+        anc = jnp.asarray(rng.integers(0, J, (B, K, L)), jnp.int32)
+        anc = anc.at[:, :, pos].set(
+            jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None], (B, K)))
+        bias_row = mk(1, H, 1, L)
+        own_bias = bias_row[0, :, 0, pos]
+
+        # reference: dus then full-mask attend
+        k_ref = k_cache.at[pos].set(k_new.reshape(B * J, H, Dh))
+        v_ref = v_cache.at[pos].set(v_new.reshape(B * J, H, Dh))
+        sel_full = D.beam_selection_mask(anc, pos, L, J)
+        want = D.beam_decode_attend(q, k_ref, v_ref, sel_full,
+                                    bias_row=bias_row)
+
+        sel_prev = D.beam_selection_mask(anc, pos - 1, L, J)
+        got, k_out, v_out = D.beam_decode_attend_update(
+            q, k_cache, v_cache, k_new, v_new, sel_prev, pos,
+            own_bias=own_bias, bias_row=bias_row)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-5, atol=2e-5)
+        np.testing.assert_allclose(np.asarray(k_out), np.asarray(k_ref),
+                                   rtol=1e-6)
+        np.testing.assert_allclose(np.asarray(v_out), np.asarray(v_ref),
+                                   rtol=1e-6)
+
+        # no-bias variant (BART)
+        want2 = D.beam_decode_attend(q, k_ref, v_ref, sel_full)
+        got2, _, _ = D.beam_decode_attend_update(
+            q, k_cache, v_cache, k_new, v_new, sel_prev, pos)
+        np.testing.assert_allclose(np.asarray(got2), np.asarray(want2),
+                                   rtol=2e-5, atol=2e-5)
+    finally:
+        D._INTERPRET = False

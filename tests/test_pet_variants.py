@@ -297,9 +297,10 @@ def test_attn_prefix_cache_parity():
                         method=VLBart.init_decode)
     prefix_kvs = m.apply({"params": params}, B,
                          method=VLBart.init_decoder_prefix)
-    cache = init_self_cache(cfg, B, T + P)  # time-major (L, B, H, Dh)
-    cache = tuple({"k": l["k"].at[:P].set(pk.swapaxes(0, 1)),
-                   "v": l["v"].at[:P].set(pv.swapaxes(0, 1))}
+    cache = init_self_cache(cfg, B, T + P)  # time-major rank-3 (L, B, H*Dh)
+    tm = lambda x: x.swapaxes(0, 1).reshape(x.shape[1], x.shape[0], -1)
+    cache = tuple({"k": l["k"].at[:P].set(tm(pk)),
+                   "v": l["v"].at[:P].set(tm(pv))}
                   for l, (pk, pv) in zip(cache, prefix_kvs))
     steps = []
     for t in range(T):

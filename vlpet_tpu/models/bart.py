@@ -355,6 +355,7 @@ class BartAttention(nn.Module):
                  decode_pos: Optional[Array] = None,
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
                  beam_sel: Optional[Array] = None,
+                 beam_fused: bool = False,
                  deterministic: bool = True,
                  causal: bool = False):
         """Returns (attn_output, new_cache). ``prefix_kv`` (B, P, H, Dh)
@@ -391,15 +392,33 @@ class BartAttention(nn.Module):
                 q = self._shape(self.q_proj(hidden_states) * self.scaling)
                 k_new = self._shape(self.k_proj(hidden_states))
                 v_new = self._shape(self.v_proj(hidden_states))
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], k_new.swapaxes(0, 1).astype(cache["k"].dtype),
-                (decode_pos, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], v_new.swapaxes(0, 1).astype(cache["v"].dtype),
-                (decode_pos, 0, 0, 0))
-            new_cache = {"k": k, "v": v}
-            from vlpet_tpu.ops.decode import beam_decode_attend, decode_attend
+            from vlpet_tpu.ops.decode import (beam_decode_attend,
+                                              beam_decode_attend_update,
+                                              decode_attend)
 
+            if beam_sel is not None and beam_fused:
+                # fused attend + in-place cache write: the XLA-level dus
+                # paid a full k+v relayout copy per step against this
+                # kernel's operand layout (PERF.md r3); beam_sel here is
+                # built with l <= pos-1 — the current token rides as the
+                # kernel's own-row term
+                out, k, v = beam_decode_attend_update(
+                    q, cache["k"], cache["v"], k_new, v_new, beam_sel,
+                    decode_pos)
+                return self.out_proj(out), {"k": k, "v": v}
+            # cache is rank-3 (L, B, H*Dh) — the (1, B, H*Dh) update row is
+            # a free bitcast of the KV projection GEMM output in the default
+            # layout, so the while-carry settles on the layout the Pallas
+            # beam attend demands (the rank-4 carry went batch-minor and
+            # paid a full k+v relayout copy every step; PERF.md r3)
+            B_ = k_new.shape[0]
+            k_upd = k_new.reshape(1, B_, -1).astype(cache["k"].dtype)
+            v_upd = v_new.reshape(1, B_, -1).astype(cache["v"].dtype)
+            k = jax.lax.dynamic_update_slice(cache["k"], k_upd,
+                                             (decode_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v_upd,
+                                             (decode_pos, 0, 0))
+            new_cache = {"k": k, "v": v}
             if beam_sel is not None:
                 out = beam_decode_attend(q, k, v, beam_sel)
             else:
@@ -705,6 +724,7 @@ class BartDecoderLayer(nn.Module):
                  decode_pos: Optional[Array] = None,
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
                  beam_sel: Optional[Array] = None,
+                 beam_fused: bool = False,
                  deterministic: bool = True):
         c = self.cfg
         p = c.pet
@@ -719,7 +739,7 @@ class BartDecoderLayer(nn.Module):
         h, new_cache = self.self_attn(hidden_states, ctx,
                                       attention_mask=attention_mask, cache=cache,
                                       decode_pos=decode_pos, prefix_kv=prefix_kv,
-                                      beam_sel=beam_sel,
+                                      beam_sel=beam_sel, beam_fused=beam_fused,
                                       deterministic=deterministic,
                                       causal=True)
         if self.self_attn_adapter is not None:
@@ -1018,7 +1038,7 @@ class BartDecoder(nn.Module):
         if c.remat != "none":
             # deterministic (positional idx 11, module at 0) is static
             layer_cls = nn.remat(BartDecoderLayer, policy=remat_policy(c.remat),
-                                 static_argnums=(11,))
+                                 static_argnums=(11, 12))  # beam_fused, deterministic
         self.scan_ok = (c.scan_layers and not p.use_hyperformer
                         and not (p.use_attn_prefix and p.decoder_prompt_len > 0))
         if self.scan_ok:
@@ -1116,6 +1136,7 @@ class BartDecoder(nn.Module):
                  if (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0)
                  else 0)
         beam_sel = None
+        beam_fused = False
         if decode_pos is None:
             h = h + pos_table[2 + P_off:2 + P_off + T].astype(dt)[None]
             # the causal triangle is applied inside attention (causal=True
@@ -1129,10 +1150,23 @@ class BartDecoder(nn.Module):
             h = h + pos_emb[None]
             max_len = cache[0]["k"].shape[0]  # time-major cache
             if beam_anc is not None:
-                from vlpet_tpu.ops.decode import beam_selection_mask
+                from vlpet_tpu.ops.decode import _BEAM_TB, beam_selection_mask
 
-                beam_sel = beam_selection_mask(beam_anc, decode_pos, max_len,
-                                               beam_anc.shape[1])
+                # fused attend+cache-write path (TPU): the mask covers only
+                # l <= pos-1 — the current token enters via the kernel's
+                # own-row term (ops/decode.py beam_decode_attend_update)
+                import os
+                # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
+                # but measured SLOWER e2e than the dus+relayout path it
+                # targets (502 vs 648 ex/s beam-5) — the aliased
+                # read+write of the cache appears to serialize the
+                # kernel's DMA pipeline. See PERF.md r3 "What was tried".
+                beam_fused = (jax.default_backend() not in ("cpu",)
+                              and beam_anc.shape[0] % _BEAM_TB == 0
+                              and bool(os.environ.get("VLPET_FUSED_BEAM")))
+                beam_sel = beam_selection_mask(
+                    beam_anc, decode_pos - 1 if beam_fused else decode_pos,
+                    max_len, beam_anc.shape[1])
                 self_mask = None
             else:
                 j = jnp.arange(max_len)[None, None, None, :]
@@ -1192,6 +1226,7 @@ class BartDecoder(nn.Module):
                 decode_pos,
                 prefix_kvs[i] if prefix_kvs is not None else None,
                 beam_sel,
+                beam_fused,
                 deterministic)
             new_cache.append(layer_cache)
         if P_in:

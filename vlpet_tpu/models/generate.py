@@ -30,19 +30,24 @@ NEG_INF = -1.0e7
 def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
     """Preallocated per-layer self-attention KV cache.
 
-    TIME-MAJOR layout (L, B, H, Dh): the per-step write is then a
+    TIME-MAJOR RANK-3 layout (L, B, H*Dh): the per-step write is a
     leading-dim dynamic_update_slice, which XLA performs in place. The
     batch-major layout made XLA copy the whole multi-GB buffer every decode
     step (~6 ms/step at flagship shapes — PERF.md), and TPU tiling forbids
-    sub-tile time slices for surgical DMA writes in that layout."""
+    sub-tile time slices for surgical DMA writes in that layout. The cache
+    is rank-3 (heads folded) so the (1, B, H*Dh) update row is a free
+    bitcast of the KV projection GEMM's output in the DEFAULT layout — the
+    rank-4 (L, B, H, Dh) carry made XLA layout assignment pick a
+    batch-minor layout and pay a FULL-cache relayout copy before the Pallas
+    beam attend every step (12 layers x 0.48 ms — r3 profile)."""
     b = cfg.backbone
     n_layers = b.decoder_layers if not cfg.is_t5 else b.num_decoder_layers
     if cfg.is_t5:
         heads, head_dim = b.num_heads, b.d_kv
     else:
         heads, head_dim = b.decoder_attention_heads, b.d_model // b.decoder_attention_heads
-    layer = lambda: {"k": jnp.zeros((max_len, batch_size, heads, head_dim), dtype),
-                     "v": jnp.zeros((max_len, batch_size, heads, head_dim), dtype)}
+    layer = lambda: {"k": jnp.zeros((max_len, batch_size, heads * head_dim), dtype),
+                     "v": jnp.zeros((max_len, batch_size, heads * head_dim), dtype)}
     return tuple(layer() for _ in range(n_layers))
 
 
@@ -59,11 +64,14 @@ def _gather_beams(tree, idx: Array, batch: int, beams: int):
     return jax.tree_util.tree_map(take, tree)
 
 
-def greedy_generate(decode_step: Callable, cache, batch_size: int,
+def greedy_generate(decode_topk: Callable, cache, batch_size: int,
                     max_length: int, decoder_start_token_id: int,
                     eos_token_id: int, pad_token_id: int,
                     bos_token_id: Optional[int] = None) -> Array:
-    """decode_step(token_ids (B,1), pos, cache) -> (logits (B,V), cache).
+    """decode_topk(token_ids (B,1), pos, cache, beam_anc, k) ->
+    (top_vals (B,k), top_toks (B,k), lse (B,), cache) — greedy needs only
+    the k=1 argmax token; the top-k reduction happens inside the decode
+    step (models decode_step_topk) so the (B, V) logits never cross it.
 
     Returns sequences (B, max_length) including the start token at position 0.
     """
@@ -78,8 +86,8 @@ def greedy_generate(decode_step: Callable, cache, batch_size: int,
     def body(state):
         i, seqs, finished, cache = state
         tok = jax.lax.dynamic_slice(seqs, (0, i), (batch_size, 1))
-        logits, cache = decode_step(tok, i, cache)
-        next_tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        _, toks, _, cache = decode_topk(tok, i, cache, None, 1)
+        next_tok = toks[:, 0].astype(jnp.int32)
         next_tok = jnp.where(finished, pad_token_id, next_tok)
         seqs = jax.lax.dynamic_update_slice(seqs, next_tok[:, None], (0, i + 1))
         finished = finished | (next_tok == eos_token_id)
@@ -89,7 +97,7 @@ def greedy_generate(decode_step: Callable, cache, batch_size: int,
     return seqs
 
 
-def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
+def beam_generate(decode_topk: Callable, cache, batch_size: int, num_beams: int,
                   max_length: int, decoder_start_token_id: int,
                   eos_token_id: int, pad_token_id: int,
                   length_penalty: float = 1.0,
@@ -103,7 +111,10 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
     classic HF-style beam search pays (reference: modeling_bart.py:1646-1681
     beam-expands + _reorder_cache).
 
-    decode_step(token_ids (B*K, 1), pos, cache, beam_anc) -> (logits, cache)
+    decode_topk(token_ids (B*K, 1), pos, cache, beam_anc, k) ->
+    (top_vals (B*K, k), top_toks (B*K, k), lse (B*K,), cache) — per-beam
+    top-k + row logsumexp computed inside the decode step
+    (models decode_step_topk), so the (B*K, V) logits never leave it.
 
     ``pos_offset``: first writable cache slot (e.g. a P-length attention
     prefix occupies slots [0, P)).
@@ -144,26 +155,11 @@ def beam_generate(decode_step: Callable, cache, batch_size: int, num_beams: int,
         own_row = jnp.broadcast_to(jnp.arange(K, dtype=jnp.int32)[None, :, None],
                                    (B, K, 1))
         anc = jax.lax.dynamic_update_slice(anc, own_row, (0, 0, pos_offset + i))
-        logits, cache = decode_step(tok.reshape(B * K, 1), i, cache, anc)
-        # Candidate selection without materializing log_softmax over the
-        # full (B*K, V) tensor: within a row, raw logits order == logp
-        # order, so take per-beam top-2K on raw logits and normalize only
-        # the winners (logsumexp is a per-row constant). The union of
-        # per-beam top-2K is a superset of the joint top-2K over (K*V), so
-        # the two-stage reduction is exact. (The single joint top-k over
-        # (B, K*V) formulation cost ~8 ms/step of reshape/copy/broadcast
-        # on TPU — see PERF.md.)
-        logits = logits.astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)  # (B*K,)
-        V = logits.shape[-1]
-        if V >= 4096:
-            # TPU PartialReduce-based top-k: ~2x the sort-based custom call
-            # at vocab scale; recall_target=0.99 is empirically exact for
-            # 2K winners out of 50k logits (scripts/bench_topk.py)
-            top_vals, top_tok = jax.lax.approx_max_k(
-                logits, 2 * K, recall_target=0.99, aggregate_to_topk=True)
-        else:
-            top_vals, top_tok = jax.lax.top_k(logits, 2 * K)  # (B*K, 2K)
+        # Per-beam top-2K + logsumexp come straight from the fused head
+        # (exact top-k; the union of per-beam top-2K is a superset of the
+        # joint top-2K over (K*V), so the two-stage reduction is exact).
+        top_vals, top_tok, lse, cache = decode_topk(
+            tok.reshape(B * K, 1), i, cache, anc, 2 * K)
         top_lp = top_vals - lse[:, None]
         top_lp = top_lp.reshape(B, K, 2 * K) + alive_logp[..., None]
         top_logp, flat_idx = jax.lax.top_k(top_lp.reshape(B, K * 2 * K), 2 * K)
@@ -279,22 +275,24 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
                                  method=type(model).init_decoder_prefix)
     cache = init_self_cache(cfg, n, max_length + P, dtype)
     if prefix_kvs is not None:
-        # prefix kvs come (B, P, H, Dh); cache is time-major (L, B, H, Dh)
+        # prefix kvs come (B, P, H, Dh); cache is time-major (L, B, H*Dh)
+        def _tm(x):
+            return x.swapaxes(0, 1).reshape(x.shape[1], x.shape[0], -1).astype(dtype)
         cache = tuple(
-            {"k": layer["k"].at[:P].set(pk.swapaxes(0, 1).astype(dtype)),
-             "v": layer["v"].at[:P].set(pv.swapaxes(0, 1).astype(dtype))}
+            {"k": layer["k"].at[:P].set(_tm(pk)),
+             "v": layer["v"].at[:P].set(_tm(pv))}
             for layer, (pk, pv) in zip(cache, prefix_kvs))
 
-    def decode_step(tok, pos, cache, beam_anc=None):
+    def decode_topk(tok, pos, cache, beam_anc, k):
         return model.apply(variables, tok, joint_mask, cross_kvs, cache,
-                           pos + P, ctx, beam_anc,
-                           method=type(model).decode_step)
+                           pos + P, k, ctx, beam_anc,
+                           method=type(model).decode_step_topk)
 
     eos = bk.eos_token_id
     pad = bk.pad_token_id
     start = bk.decoder_start_token_id
     if num_beams > 1:
-        seqs, _ = beam_generate(decode_step, cache, B, num_beams, max_length,
+        seqs, _ = beam_generate(decode_topk, cache, B, num_beams, max_length,
                                 start, eos, pad, length_penalty, pos_offset=P)
         return seqs[:B_true]
-    return greedy_generate(decode_step, cache, B, max_length, start, eos, pad)
+    return greedy_generate(decode_topk, cache, B, max_length, start, eos, pad)

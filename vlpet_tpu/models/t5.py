@@ -166,6 +166,7 @@ class T5Attention(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  beam_sel: Optional[Array] = None,
+                 beam_fused: bool = False,
                  deterministic: bool = True,
                  pad_mask: Optional[Array] = None):
         b: T5Config = self.cfg.backbone
@@ -188,15 +189,32 @@ class T5Attention(nn.Module):
             # time-major (L, B, H, Dh) cache; leading-dim dus is in place
             k_new = self._shape(self.k(hidden_states))
             v_new = self._shape(self.v(hidden_states))
-            k = jax.lax.dynamic_update_slice(
-                cache["k"], k_new.swapaxes(0, 1).astype(cache["k"].dtype),
-                (decode_pos, 0, 0, 0))
-            v = jax.lax.dynamic_update_slice(
-                cache["v"], v_new.swapaxes(0, 1).astype(cache["v"].dtype),
-                (decode_pos, 0, 0, 0))
-            new_cache = {"k": k, "v": v}
-            from vlpet_tpu.ops.decode import beam_decode_attend, decode_attend
+            from vlpet_tpu.ops.decode import (beam_decode_attend,
+                                              beam_decode_attend_update,
+                                              decode_attend)
 
+            if beam_sel is not None and beam_fused:
+                # fused attend + in-place cache write (see models/bart.py);
+                # the own-row term gets the distance-0 relative bias
+                own_bias = jax.lax.dynamic_slice(
+                    position_bias.astype(jnp.float32),
+                    (0, 0, 0, decode_pos),
+                    (1, b.num_heads, 1, 1)).reshape(b.num_heads)
+                out, k, v = beam_decode_attend_update(
+                    q, cache["k"], cache["v"], k_new, v_new, beam_sel,
+                    decode_pos, own_bias=own_bias, bias_row=position_bias)
+                B, L = q.shape[:2]
+                return (self.o(out.reshape(B, L, b.num_heads * b.d_kv)),
+                        {"k": k, "v": v})
+            # rank-3 (L, B, H*Dh) cache — see models/bart.py decode write
+            B_ = k_new.shape[0]
+            k_upd = k_new.reshape(1, B_, -1).astype(cache["k"].dtype)
+            v_upd = v_new.reshape(1, B_, -1).astype(cache["v"].dtype)
+            k = jax.lax.dynamic_update_slice(cache["k"], k_upd,
+                                             (decode_pos, 0, 0))
+            v = jax.lax.dynamic_update_slice(cache["v"], v_upd,
+                                             (decode_pos, 0, 0))
+            new_cache = {"k": k, "v": v}
             if beam_sel is not None:
                 # position_bias here is the per-position relative-bias row
                 # (1, H, 1, L) — position-dependent only, beam-broadcastable
@@ -455,6 +473,7 @@ class T5Block(nn.Module):
                  cache: Optional[Dict[str, Array]] = None,
                  decode_pos: Optional[Array] = None,
                  beam_sel: Optional[Array] = None,
+                 beam_fused: bool = False,
                  deterministic: bool = True,
                  pad_mask: Optional[Array] = None):
         block = ctx.block_adapters
@@ -463,6 +482,7 @@ class T5Block(nn.Module):
         y, new_cache = self.self_attn(self.self_attn_layer_norm(x), ctx,
                                       position_bias=position_bias, cache=cache,
                                       decode_pos=decode_pos, beam_sel=beam_sel,
+                                      beam_fused=beam_fused,
                                       deterministic=deterministic,
                                       pad_mask=pad_mask)
         if not self.is_decoder:
@@ -685,6 +705,7 @@ class T5Decoder(nn.Module):
         h = self.dropout(h, deterministic=deterministic)
 
         beam_sel = None
+        beam_fused = False
         if decode_pos is None:
             causal = jnp.where(
                 jnp.arange(T)[None, :] <= jnp.arange(T)[:, None], 0.0,
@@ -696,10 +717,20 @@ class T5Decoder(nn.Module):
             if beam_anc is not None:
                 # reorder-free beam decode: the ancestry mask carries the
                 # causal constraint; the bias row rides through the attention
-                from vlpet_tpu.ops.decode import beam_selection_mask
+                from vlpet_tpu.ops.decode import _BEAM_TB, beam_selection_mask
 
-                beam_sel = beam_selection_mask(beam_anc, decode_pos, max_len,
-                                               beam_anc.shape[1])
+                import os
+                # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
+                # but measured SLOWER e2e than the dus+relayout path it
+                # targets (502 vs 648 ex/s beam-5) — the aliased
+                # read+write of the cache appears to serialize the
+                # kernel's DMA pipeline. See PERF.md r3 "What was tried".
+                beam_fused = (jax.default_backend() not in ("cpu",)
+                              and beam_anc.shape[0] % _BEAM_TB == 0
+                              and bool(os.environ.get("VLPET_FUSED_BEAM")))
+                beam_sel = beam_selection_mask(
+                    beam_anc, decode_pos - 1 if beam_fused else decode_pos,
+                    max_len, beam_anc.shape[1])
                 self_bias = row
             else:
                 causal = jnp.where(jnp.arange(max_len)[None, None, None, :] <= decode_pos,
@@ -722,6 +753,7 @@ class T5Decoder(nn.Module):
                                  cross_kv=cross_kvs[i] if cross_kvs is not None else None,
                                  cache=cache[i] if cache is not None else None,
                                  decode_pos=decode_pos, beam_sel=beam_sel,
+                                 beam_fused=beam_fused,
                                  deterministic=deterministic)
             new_cache.append(layer_cache)
         h = self.final_layer_norm(h)
@@ -951,6 +983,26 @@ class VLT5(nn.Module):
             cache=cache, decode_pos=decode_pos, beam_anc=beam_anc,
             deterministic=True)
         return self._logits(dec_out)[:, -1, :], new_cache
+
+    def decode_step_topk(self, decoder_input_ids, joint_mask, cross_kvs, cache,
+                         decode_pos, k: int, ctx: PetContext = None,
+                         beam_anc=None):
+        """See VLBart.decode_step_topk."""
+        ctx = self._ctx(ctx)
+        dec_out, new_cache = self.model.decode(
+            decoder_input_ids, None, joint_mask, ctx, cross_kvs=cross_kvs,
+            cache=cache, decode_pos=decode_pos, beam_anc=beam_anc,
+            deterministic=True)
+        b: T5Config = self.cfg.backbone
+        x = dec_out[:, -1, :]
+        logits = self._logits(x[:, None])[:, -1].astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        if b.vocab_size >= 4096 and jax.default_backend() not in ("cpu",):
+            vals, toks = jax.lax.approx_max_k(
+                logits, k, recall_target=0.99, aggregate_to_topk=True)
+        else:
+            vals, toks = jax.lax.top_k(logits, k)
+        return vals, toks.astype(jnp.int32), lse, new_cache
 
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                      ctx: PetContext = None, deterministic: bool = True):

@@ -271,6 +271,35 @@ class VLBart(nn.Module):
             beam_anc=beam_anc, deterministic=True)
         return self._logits(dec_out)[:, -1, :], new_cache
 
+    def decode_step_topk(self, decoder_input_ids, joint_mask, cross_kvs, cache,
+                         decode_pos, k: int, ctx: PetContext = None,
+                         beam_anc=None):
+        """Decode step returning (top_vals (B,k) f32, top_toks (B,k) i32,
+        lse (B,) f32, new_cache) — the beam/greedy scoring surface of the
+        HF generation chain (per-beam top-k on raw logits + row logsumexp;
+        the two-stage candidate select in generate.beam_generate is exact,
+        see PERF.md)."""
+        ctx = self._ctx(ctx)
+        dec_out, new_cache = self.model.decode(
+            decoder_input_ids, None, joint_mask, ctx=ctx,
+            cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
+            beam_anc=beam_anc, deterministic=True)
+        x = dec_out[:, -1, :]
+        logits = self._logits(x[:, None])[:, -1].astype(jnp.float32)
+        lse = jax.scipy.special.logsumexp(logits, axis=-1)
+        V = logits.shape[-1]
+        if V >= 4096 and jax.default_backend() not in ("cpu",):
+            # TPU PartialReduce-based top-k on RAW logits: ~2x the
+            # sort-based custom call at vocab scale; recall 0.99 is
+            # empirically exact for 2K of 50k (scripts/bench_topk.py).
+            # A fused projection+lse+exact-topk Pallas kernel was built
+            # and measured SLOWER (PERF.md r3 "What was tried").
+            vals, toks = jax.lax.approx_max_k(
+                logits, k, recall_target=0.99, aggregate_to_topk=True)
+        else:
+            vals, toks = jax.lax.top_k(logits, k)
+        return vals, toks.astype(jnp.int32), lse, new_cache
+
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                      ctx: PetContext = None, deterministic: bool = True):
         """Full teacher-forced decode (used by NLVR scoring and prefill)."""

@@ -38,6 +38,9 @@ from jax.experimental.pallas import tpu as pltpu
 Array = jax.Array
 NEG_INF = -1.0e9
 
+# tests monkeypatch to run the kernels in interpreter mode on CPU
+_INTERPRET = False
+
 
 def beam_selection_mask(beam_anc: Array, decode_pos: Array, cache_len: int,
                         num_rows: int) -> Array:
@@ -57,10 +60,17 @@ def decode_attend(q: Array, k: Array, v: Array,
                   bias_row: Optional[Array] = None) -> Array:
     """Single-step decode self-attention over a TIME-MAJOR cache.
 
-    q: (B, 1, H, Dh); k, v: (L, B, H, Dh); mask: additive with trailing
-    L axis (e.g. (1, 1, 1, L) position mask); bias_row: optional
-    (1, H, 1, L) T5 relative bias. Returns (B, 1, H*Dh)."""
-    L, B, H, Dh = k.shape
+    q: (B, 1, H, Dh); k, v: (L, B, H*Dh) — the cache is RANK-3 so its
+    natural layout is the projection GEMM's (a rank-4 (L, B, H, Dh) carry
+    made XLA pick a batch-minor layout and relay the full cache every beam
+    step; two identity-pin workarounds lost — PERF.md r3 "What was
+    tried"); mask: additive with trailing L axis
+    (e.g. (1, 1, 1, L) position mask); bias_row: optional (1, H, 1, L) T5
+    relative bias. Returns (B, 1, H*Dh)."""
+    H, Dh = q.shape[-2:]
+    L, B = k.shape[:2]
+    k = k.reshape(L, B, H, Dh)
+    v = v.reshape(L, B, H, Dh)
     qb = q.reshape(B, H, Dh)
     logits = jnp.einsum("bhd,lbhd->bhl", qb, k,
                         preferred_element_type=jnp.float32)  # (B, H, L)
@@ -136,13 +146,141 @@ def _beam_self_attend_pallas(q2, k3, v3, sel_big, bias_big, num_heads,
     )(q2, k3, v3, sel_big, bias_big)
 
 
+def _beam_self_update_kernel(num_heads: int, head_dim: int, pos_ref,
+                             q_ref, k_ref, v_ref, kn_ref, vn_ref, sel_ref,
+                             bias_ref, obias_ref, out_ref, ko_ref, vo_ref):
+    """_beam_self_kernel + IN-PLACE cache update (input_output_aliases).
+
+    The current step's KV rides as separate (tbJ, inner) inputs and is
+    written to cache row [pos] through the aliased outputs, so the XLA-level
+    dynamic_update_slice — whose layout disagreement with this custom call
+    forced a full k+v relayout copy EVERY step (~5.7 ms/step at flagship
+    beam shapes, 29%% of the step — r3 profile) — disappears entirely: the
+    custom call is the only reader AND writer of the cache buffer, pinning
+    one layout across the while-loop carry.
+
+    The cache block still holds the PREVIOUS step's row at [pos]; the
+    current token's attention contribution comes from an explicit own-row
+    term (each beam attends its own new KV exactly once): softmax runs
+    online over [cache scores (l < pos via sel mask)] ∪ [own score].
+    obias is the (1, num_heads) own-position relative bias (T5), zeros
+    otherwise."""
+    ko_ref[...] = kn_ref[...][None]
+    vo_ref[...] = vn_ref[...][None]
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        q = q_ref[:, sl]                             # (tbK, Dh)
+        kh = k_ref[:, :, sl].reshape(-1, head_dim)   # (L*tbJ, Dh)
+        vh = v_ref[:, :, sl].reshape(-1, head_dim)
+        s = jax.lax.dot_general(q, kh, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        s = s + sel_ref[:] + bias_ref[h][None, :]
+        s_own = jnp.sum((q * kn_ref[:, sl]).astype(jnp.float32), axis=1,
+                        keepdims=True) + obias_ref[0, h]
+        m = jnp.maximum(jnp.max(s, axis=1, keepdims=True), s_own)
+        e = jnp.exp(s - m)
+        eo = jnp.exp(s_own - m)
+        denom = jnp.sum(e, axis=1, keepdims=True) + eo
+        p = (e / denom).astype(q.dtype)
+        o = jnp.dot(p, vh, preferred_element_type=jnp.float32)
+        o = o + (eo / denom) * vn_ref[:, sl].astype(jnp.float32)
+        out_ref[:, sl] = o.astype(out_ref.dtype)
+
+
+def beam_decode_attend_update(q: Array, k_cache: Array, v_cache: Array,
+                              k_new: Array, v_new: Array, sel_mask: Array,
+                              decode_pos, own_bias: Optional[Array] = None,
+                              bias_row: Optional[Array] = None):
+    """Fused ancestry-masked self-attention + in-place cache write.
+
+    q, k_new, v_new: (B*K, 1, H, Dh) current step; k_cache, v_cache:
+    (L, B*J, H, Dh) time-major (row [decode_pos] still holds stale data —
+    it is OVERWRITTEN through aliased outputs). sel_mask: (B, K, J, L)
+    additive built with positions l <= decode_pos - 1 (the current position
+    enters via the own-row term). own_bias: optional (H,) additive on the
+    own score (T5 relative bias at distance 0); bias_row: optional
+    (1, H, 1, L) per-position bias for the cache side.
+
+    Returns (out (B*K, 1, H*Dh), new_k_cache, new_v_cache) with the cache
+    arrays updated in place (same shapes). TPU-only (callers fall back to
+    the dus + beam_decode_attend path on CPU)."""
+    B, K, J, L = sel_mask.shape
+    H, Dh = q.shape[-2:]
+    tb = _BEAM_TB
+    assert B % tb == 0
+    inner = H * Dh
+    t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+    sel5 = jnp.where(
+        jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+        jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],
+        NEG_INF)
+    sel_big = sel5.reshape(B * K, L * tb * J)
+    if bias_row is not None:
+        bias_big = jnp.repeat(
+            bias_row.astype(jnp.float32).reshape(H, L), tb * J, axis=1)
+    else:
+        bias_big = jnp.zeros((H, L * tb * J), jnp.float32)
+    obias = (own_bias.astype(jnp.float32).reshape(1, H)
+             if own_bias is not None else jnp.zeros((1, H), jnp.float32))
+
+    q2 = q.reshape(B * K, inner)
+    k3 = k_cache.reshape(L, B * J, inner)
+    v3 = v_cache.reshape(L, B * J, inner)
+    kn = k_new.reshape(B * J, inner)
+    vn = v_new.reshape(B * J, inner)
+    head_dim = inner // H
+    tbK, tbJ = tb * K, tb * J
+    ms = pl.ANY if _INTERPRET else pltpu.VMEM
+    pos = jnp.asarray(decode_pos, jnp.int32).reshape(1)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(B // tb,),
+        in_specs=[
+            pl.BlockSpec((tbK, inner), lambda i, s: (i, 0), memory_space=ms),
+            pl.BlockSpec((L, tbJ, inner), lambda i, s: (0, i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((L, tbJ, inner), lambda i, s: (0, i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((tbJ, inner), lambda i, s: (i, 0), memory_space=ms),
+            pl.BlockSpec((tbJ, inner), lambda i, s: (i, 0), memory_space=ms),
+            pl.BlockSpec((tbK, L * tbJ), lambda i, s: (i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((H, L * tbJ), lambda i, s: (0, 0), memory_space=ms),
+            pl.BlockSpec((1, H), lambda i, s: (0, 0), memory_space=ms),
+        ],
+        out_specs=(
+            pl.BlockSpec((tbK, inner), lambda i, s: (i, 0), memory_space=ms),
+            pl.BlockSpec((1, tbJ, inner), lambda i, s: (s[0], i, 0),
+                         memory_space=ms),
+            pl.BlockSpec((1, tbJ, inner), lambda i, s: (s[0], i, 0),
+                         memory_space=ms),
+        ),
+    )
+    out, k3n, v3n = pl.pallas_call(
+        functools.partial(_beam_self_update_kernel, H, head_dim),
+        grid_spec=grid_spec,
+        out_shape=(
+            jax.ShapeDtypeStruct((B * K, inner), q.dtype),
+            jax.ShapeDtypeStruct((L, B * J, inner), k_cache.dtype),
+            jax.ShapeDtypeStruct((L, B * J, inner), v_cache.dtype),
+        ),
+        input_output_aliases={2: 1, 3: 2},
+        interpret=_INTERPRET,
+    )(pos, q2, k3, v3, kn.astype(k_cache.dtype), vn.astype(v_cache.dtype),
+      sel_big, bias_big, obias)
+    return (out.reshape(B * K, 1, inner),
+            k3n.reshape(k_cache.shape), v3n.reshape(v_cache.shape))
+
+
 def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
                        bias_row: Optional[Array] = None) -> Array:
     """Ancestry-masked self-attention for one decode step.
 
     q: (B*K, 1, H, Dh) — current-step queries, beam-major rows
-    k, v: (L, B*J, H, Dh) — TIME-MAJOR physical KV cache (J == K), never
-        reordered (rows) and never copied (time: leading-dim updates)
+    k, v: (L, B*J, H*Dh) — TIME-MAJOR RANK-3 physical KV cache (J == K),
+        never reordered (rows) and never copied (time: leading-dim
+        updates; rank-3 keeps the while-carry in the kernel's layout,
+        see decode_attend docstring)
     sel_mask: (B, K, J, L) additive (from beam_selection_mask)
     bias_row: optional (1, H, 1, L) additive position bias (T5) — position-
         dependent only, so it broadcasts over beams and physical rows.
@@ -178,8 +316,7 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         else:
             bias_big = jnp.zeros((H, L * tb * J), jnp.float32)
         out = _beam_self_attend_pallas(
-            q.reshape(B * K, H * Dh), k.reshape(L, B * J, H * Dh),
-            v.reshape(L, B * J, H * Dh), sel_big, bias_big, H, K, J)
+            q.reshape(B * K, H * Dh), k, v, sel_big, bias_big, H, K, J)
         return out.reshape(B * K, 1, H * Dh)
     qb = q.reshape(B, K, H, Dh)
     # pad the beam/query axis to the 8-sublane boundary — K=5 leaves XLA's

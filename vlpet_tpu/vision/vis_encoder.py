@@ -87,6 +87,13 @@ class RawInputVLModel(nn.Module):
         return self.vl.decode_step(decoder_input_ids, joint_mask, cross_kvs,
                                    cache, decode_pos, ctx, beam_anc)
 
+    def decode_step_topk(self, decoder_input_ids, joint_mask, cross_kvs, cache,
+                         decode_pos, k: int, ctx: PetContext = None,
+                         beam_anc=None):
+        return self.vl.decode_step_topk(decoder_input_ids, joint_mask,
+                                        cross_kvs, cache, decode_pos, k, ctx,
+                                        beam_anc)
+
     def init_decoder_prefix(self, batch_size: int):
         return self.vl.init_decoder_prefix(batch_size)
 
