@@ -57,3 +57,32 @@ xj = x.reshape(B, K * V)
 timeit("lax.top_k (B, K*V) joint", lambda x: jax.lax.top_k(x, k), xj)
 # sort-based
 timeit("full sort top-k", lambda x: jax.lax.sort(x)[:, -k:], x)
+
+# --- r3: two-stage variants (kill the aggregate sort over ~1664 cands) ---
+def two_stage_topk(x):
+    """PartialReduce candidates (no aggregate sort), then exact top-k over
+    the small candidate set; compose indices."""
+    vc, ic = jax.lax.approx_max_k(x, k, recall_target=0.99,
+                                  aggregate_to_topk=False)
+    vals, sub = jax.lax.top_k(vc, k)
+    toks = jnp.take_along_axis(ic, sub, axis=1)
+    return vals, toks
+
+
+def two_stage_sort(x):
+    """PartialReduce candidates, then aggregate via variadic sort of the
+    small (B*K, n_cand) set."""
+    vc, ic = jax.lax.approx_max_k(x, k, recall_target=0.99,
+                                  aggregate_to_topk=False)
+    sv, si = jax.lax.sort((-vc, ic), num_keys=1)
+    return -sv[:, :k], si[:, :k]
+
+
+r5 = timeit("2-stage: PR + top_k(cand)", two_stage_topk, x)
+r6 = timeit("2-stage: PR + sort(cand)", two_stage_sort, x)
+for name, r in (("2stage_topk", r5), ("2stage_sort", r6)):
+    v2, i2 = [np.asarray(a) for a in r]
+    match = np.mean([np.intersect1d(i1[j], i2[j]).size / k
+                     for j in range(0, B * K, 97)])
+    print(f"{name}: recall vs exact = {match:.6f}, "
+          f"vals equal = {np.allclose(np.sort(v2, axis=1), np.sort(v1, axis=1))}")

@@ -360,6 +360,28 @@ def test_beam_self_attend_pallas_matches_einsum():
                                np.asarray(want), rtol=2e-5, atol=2e-5)
 
 
+def test_beam_sel_big_matches_5d_build():
+    """The flat iota/matmul kernel-mask builder (beam_sel_big — the TPU
+    decode path; built flat because the 5-D where/reshape's tiny minor dims
+    forced pathological TPU tile layouts, r3 profile) is bit-identical to
+    the legacy 5-D construction for every decode position."""
+    from vlpet_tpu.ops.decode import (NEG_INF, _BEAM_TB, beam_sel_big,
+                                      beam_selection_mask)
+
+    rng = np.random.default_rng(0)
+    B, K, J, L, tb = 16, 5, 5, 12, _BEAM_TB
+    anc = jnp.asarray(rng.integers(0, J, (B, K, L)), jnp.int32)
+    for pos in (0, 5, L - 1):
+        sel = beam_selection_mask(anc, pos, L, J)
+        t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+        sel5 = jnp.where(
+            jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+            jnp.swapaxes(sel, 2, 3)[:, :, :, None, :], NEG_INF)
+        want = sel5.reshape(B * K, L * tb * J)
+        got = beam_sel_big(anc, pos, J, L, tb)
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_activation_vjps_match_stock_gelu():
     """ops/activations.py: forward bit-parity + gradient parity with
     jax.nn.gelu (the custom_vjp only changes the residual schedule)."""

@@ -363,9 +363,10 @@ class BartAttention(nn.Module):
         reference's past_key_value-for-prefix path, modeling_prefix_bart.py);
         the caller extends the mask with P always-attendable columns.
 
-        ``beam_sel`` (B, K, J, L) switches decode attention to the
-        reorder-free beam path (ops/decode.py): the cache stays in physical
-        row order and the mask routes each beam to its ancestors' slots.
+        ``beam_sel`` — the (B, K, L) int32 beam ancestry — switches decode
+        attention to the reorder-free beam path (ops/decode.py): the cache
+        stays in physical row order and the ancestry-derived mask routes
+        each beam to its ancestors' slots.
         In the same mode, a cross_kv whose batch is smaller than the hidden
         batch is treated as beam-shared (un-expanded encoder KV)."""
         fuse_qkv = self.role != "cross" and isinstance(self.q_proj, TaskDense)
@@ -420,7 +421,8 @@ class BartAttention(nn.Module):
                                              (decode_pos, 0, 0))
             new_cache = {"k": k, "v": v}
             if beam_sel is not None:
-                out = beam_decode_attend(q, k, v, beam_sel)
+                out = beam_decode_attend(q, k, v, beam_sel,
+                                         decode_pos=decode_pos)
             else:
                 out = decode_attend(q, k, v, attention_mask)
             return self.out_proj(out), new_cache
@@ -1150,11 +1152,8 @@ class BartDecoder(nn.Module):
             h = h + pos_emb[None]
             max_len = cache[0]["k"].shape[0]  # time-major cache
             if beam_anc is not None:
-                from vlpet_tpu.ops.decode import _BEAM_TB, beam_selection_mask
+                from vlpet_tpu.ops.decode import _BEAM_TB
 
-                # fused attend+cache-write path (TPU): the mask covers only
-                # l <= pos-1 — the current token enters via the kernel's
-                # own-row term (ops/decode.py beam_decode_attend_update)
                 import os
                 # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
                 # but measured SLOWER e2e than the dus+relayout path it
@@ -1164,9 +1163,11 @@ class BartDecoder(nn.Module):
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
                               and bool(os.environ.get("VLPET_FUSED_BEAM")))
-                beam_sel = beam_selection_mask(
-                    beam_anc, decode_pos - 1 if beam_fused else decode_pos,
-                    max_len, beam_anc.shape[1])
+                # the raw (B, K, L) ancestry travels to the attention, which
+                # builds its flat kernel mask directly (ops/decode.py
+                # beam_sel_big) — the 4-D additive form's tiny minor dims
+                # forced pathological TPU layouts (1.2 ms/step, r3 profile)
+                beam_sel = beam_anc
                 self_mask = None
             else:
                 j = jnp.arange(max_len)[None, None, None, :]

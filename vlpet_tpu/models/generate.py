@@ -262,6 +262,14 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
             cross_kvs = jax.tree_util.tree_map(
                 lambda x: jnp.pad(x, ((0, pad),) + ((0, 0),) * (x.ndim - 1)),
                 cross_kvs)
+        # flatten (B, S, H, Dh) -> (B, S, H*Dh) ONCE, outside the decode
+        # loop: the rank-4 view's (H, Dh) tile padding makes the flat view
+        # a genuine relayout, and the Pallas cross-attend's layout
+        # constraint re-ran that copy inside the while body every step
+        # (12 x 0.13 ms at flagship beam shapes — r3 profile)
+        cross_kvs = jax.tree_util.tree_map(
+            lambda x: x.reshape(x.shape[0], x.shape[1], -1)
+            if x.ndim == 4 else x, cross_kvs)
     n = B * num_beams if num_beams > 1 else B
 
     # decoder attention-prefix: prefill the first P cache slots once and

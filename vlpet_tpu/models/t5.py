@@ -219,7 +219,8 @@ class T5Attention(nn.Module):
                 # position_bias here is the per-position relative-bias row
                 # (1, H, 1, L) — position-dependent only, beam-broadcastable
                 out = beam_decode_attend(q, k, v, beam_sel,
-                                         bias_row=position_bias)
+                                         bias_row=position_bias,
+                                         decode_pos=decode_pos)
             else:
                 # position_bias carries the causal mask + bias row
                 out = decode_attend(q, k, v, bias_row=position_bias)
@@ -715,9 +716,9 @@ class T5Decoder(nn.Module):
             max_len = cache[0]["k"].shape[0]  # time-major cache
             row = self.blocks[0].self_attn.compute_bias_row(decode_pos, max_len)
             if beam_anc is not None:
-                # reorder-free beam decode: the ancestry mask carries the
-                # causal constraint; the bias row rides through the attention
-                from vlpet_tpu.ops.decode import _BEAM_TB, beam_selection_mask
+                # reorder-free beam decode: the ancestry-derived mask carries
+                # the causal constraint; the bias row rides through attention
+                from vlpet_tpu.ops.decode import _BEAM_TB
 
                 import os
                 # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
@@ -728,9 +729,9 @@ class T5Decoder(nn.Module):
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
                               and bool(os.environ.get("VLPET_FUSED_BEAM")))
-                beam_sel = beam_selection_mask(
-                    beam_anc, decode_pos - 1 if beam_fused else decode_pos,
-                    max_len, beam_anc.shape[1])
+                # raw (B, K, L) ancestry; attention builds the flat kernel
+                # mask directly (ops/decode.py beam_sel_big — see bart.py)
+                beam_sel = beam_anc
                 self_bias = row
             else:
                 causal = jnp.where(jnp.arange(max_len)[None, None, None, :] <= decode_pos,

@@ -55,6 +55,43 @@ def beam_selection_mask(beam_anc: Array, decode_pos: Array, cache_len: int,
     return jnp.where(sel, 0.0, NEG_INF).astype(jnp.float32)
 
 
+def beam_sel_big(anc: Array, decode_pos, J: int, L: int,
+                 tb: int = None) -> Array:
+    """(B*K, L*tb*J) additive kernel mask built FLAT from the ancestry.
+
+    Column order matches the kernel's cache-block reshape:
+    c = l*(tb*J) + t*J + j (t = batch position within the tb-block).
+    Row r = b*K + k may attend column c iff t(c) == b % tb (own-batch
+    block diagonal), anc[b, k, l(c)] == j(c) (ancestry), and
+    l(c) <= decode_pos (causal).
+
+    The previous build went through a 5-D where + reshape whose tiny minor
+    dims (8, 5) forced pathological TPU tile layouts — 1.2 ms/step at
+    flagship beam shapes (r3 profile: a 27 GiB/s broadcast_select fusion
+    plus two 16 MB relayouts). Here the only large tensor is the final
+    (B*K, L*tb*J) f32 in its native {1,0} layout: the l-expansion of anc
+    rides a tiny (L, L*tb*J) 0/1 matmul (MXU; exact — row indices are far
+    below 2^24) and everything else is iota arithmetic, so XLA emits one
+    GEMM + one elementwise fusion.
+    """
+    if tb is None:
+        tb = _BEAM_TB
+    B, K, _ = anc.shape
+    tbJ = tb * J
+    C = L * tbJ
+    expand = (jnp.arange(C)[None, :] // tbJ
+              == jnp.arange(L)[:, None]).astype(jnp.float32)
+    anc_rep = anc.reshape(B * K, L).astype(jnp.float32) @ expand  # (BK, C)
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, C), 1)
+    j_col = (c % J).astype(jnp.float32)
+    t_col = (c // J) % tb
+    l_col = c // tbJ
+    t_row = ((jnp.arange(B * K, dtype=jnp.int32) // K) % tb)[:, None]
+    ok = ((anc_rep == j_col) & (t_col == t_row)
+          & (l_col <= jnp.asarray(decode_pos, jnp.int32)))
+    return jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+
+
 def decode_attend(q: Array, k: Array, v: Array,
                   mask: Optional[Array] = None,
                   bias_row: Optional[Array] = None) -> Array:
@@ -197,24 +234,34 @@ def beam_decode_attend_update(q: Array, k_cache: Array, v_cache: Array,
     (L, B*J, H, Dh) time-major (row [decode_pos] still holds stale data —
     it is OVERWRITTEN through aliased outputs). sel_mask: (B, K, J, L)
     additive built with positions l <= decode_pos - 1 (the current position
-    enters via the own-row term). own_bias: optional (H,) additive on the
+    enters via the own-row term), or the raw (B, K, L) int32 ancestry —
+    then the flat kernel mask is built directly at decode_pos - 1
+    (beam_sel_big). own_bias: optional (H,) additive on the
     own score (T5 relative bias at distance 0); bias_row: optional
     (1, H, 1, L) per-position bias for the cache side.
 
     Returns (out (B*K, 1, H*Dh), new_k_cache, new_v_cache) with the cache
     arrays updated in place (same shapes). TPU-only (callers fall back to
     the dus + beam_decode_attend path on CPU)."""
-    B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
     tb = _BEAM_TB
-    assert B % tb == 0
+    if sel_mask.ndim == 3:  # raw ancestry
+        B, K, L = sel_mask.shape[0], sel_mask.shape[1], k_cache.shape[0]
+        J = k_cache.shape[1] // B
+        assert B % tb == 0
+        sel_big = beam_sel_big(sel_mask,
+                               jnp.asarray(decode_pos, jnp.int32) - 1,
+                               J, L, tb)
+    else:
+        B, K, J, L = sel_mask.shape
+        assert B % tb == 0
+        t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+        sel5 = jnp.where(
+            jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+            jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],
+            NEG_INF)
+        sel_big = sel5.reshape(B * K, L * tb * J)
     inner = H * Dh
-    t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
-    sel5 = jnp.where(
-        jnp.arange(tb)[None, None, None, :, None] == t_of_b,
-        jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],
-        NEG_INF)
-    sel_big = sel5.reshape(B * K, L * tb * J)
     if bias_row is not None:
         bias_big = jnp.repeat(
             bias_row.astype(jnp.float32).reshape(H, L), tb * J, axis=1)
@@ -273,7 +320,8 @@ def beam_decode_attend_update(q: Array, k_cache: Array, v_cache: Array,
 
 
 def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
-                       bias_row: Optional[Array] = None) -> Array:
+                       bias_row: Optional[Array] = None,
+                       decode_pos=None) -> Array:
     """Ancestry-masked self-attention for one decode step.
 
     q: (B*K, 1, H, Dh) — current-step queries, beam-major rows
@@ -281,7 +329,10 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         never reordered (rows) and never copied (time: leading-dim
         updates; rank-3 keeps the while-carry in the kernel's layout,
         see decode_attend docstring)
-    sel_mask: (B, K, J, L) additive (from beam_selection_mask)
+    sel_mask: (B, K, J, L) additive (from beam_selection_mask), or the raw
+        (B, K, L) int32 ancestry itself (requires decode_pos) — preferred:
+        the TPU path then builds its flat kernel mask directly
+        (beam_sel_big) and the 4-D form never materializes.
     bias_row: optional (1, H, 1, L) additive position bias (T5) — position-
         dependent only, so it broadcasts over beams and physical rows.
     Returns (B*K, 1, H*Dh).
@@ -292,7 +343,15 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
     (B,K,H,J,L) formulation measured 30x slower: XLA assigned layouts with
     5-wide minor dims, leaving the VPU lanes ~96% idle.)
     """
-    B, K, J, L = sel_mask.shape
+    anc = None
+    if sel_mask.ndim == 3:  # raw ancestry
+        assert decode_pos is not None
+        anc, sel_mask = sel_mask, None
+        B, K, _ = anc.shape
+        L = k.shape[0]
+        J = k.shape[1] // B
+    else:
+        B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
     if jax.default_backend() not in ("cpu",) and B % _BEAM_TB == 0:
         # Pallas kernel: reads the time-major cache natively (no XLA layout
@@ -304,12 +363,15 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         # batch position within the block. Layer-independent -> XLA CSEs
         # the build across layers.
         tb = _BEAM_TB
-        t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
-        sel5 = jnp.where(
-            jnp.arange(tb)[None, None, None, :, None] == t_of_b,
-            jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],  # (B,K,L,1,J)
-            NEG_INF)
-        sel_big = sel5.reshape(B * K, L * tb * J)
+        if anc is not None:
+            sel_big = beam_sel_big(anc, decode_pos, J, L, tb)
+        else:
+            t_of_b = (jnp.arange(B) % tb)[:, None, None, None, None]
+            sel5 = jnp.where(
+                jnp.arange(tb)[None, None, None, :, None] == t_of_b,
+                jnp.swapaxes(sel_mask, 2, 3)[:, :, :, None, :],  # (B,K,L,1,J)
+                NEG_INF)
+            sel_big = sel5.reshape(B * K, L * tb * J)
         if bias_row is not None:
             bias_big = jnp.repeat(
                 bias_row.astype(jnp.float32).reshape(H, L), tb * J, axis=1)
@@ -318,6 +380,8 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         out = _beam_self_attend_pallas(
             q.reshape(B * K, H * Dh), k, v, sel_big, bias_big, H, K, J)
         return out.reshape(B * K, 1, H * Dh)
+    if sel_mask is None:
+        sel_mask = beam_selection_mask(anc, decode_pos, L, J)
     qb = q.reshape(B, K, H, Dh)
     # pad the beam/query axis to the 8-sublane boundary — K=5 leaves XLA's
     # softmax fusions VPU-starved (measured ~40x off roofline)
@@ -349,12 +413,17 @@ def beam_cross_attend(q: Array, k: Array, v: Array,
                       bias: Optional[Array] = None) -> Array:
     """Cross-attention with beam-shared (un-expanded) encoder KV.
 
-    q: (B*K, 1, H, Dh); k, v: (B, S, H, Dh) — one copy per batch element,
-    shared by its K beams (beams = a K-long query sequence; no causal
-    structure in cross-attention, so this is exact). mask: optional
-    (B, 1, 1, S) additive. Returns (B*K, 1, H*Dh).
+    q: (B*K, 1, H, Dh); k, v: (B, S, H*Dh) RANK-3 (preferred: the flat
+    form's layout settles OUTSIDE the decode loop — the rank-4
+    (B, S, H, Dh) view's (12, 64) tile padding forced a full relayout
+    copy per layer per step, 1.5 ms/step at flagship beam shapes, r3
+    profile) or legacy (B, S, H, Dh). One copy per batch element, shared
+    by its K beams (beams = a K-long query sequence; no causal structure
+    in cross-attention, so this is exact). mask: optional (B, 1, 1, S)
+    additive. Returns (B*K, 1, H*Dh).
     """
-    B, S, H, Dh = k.shape
+    H, Dh = q.shape[-2:]
+    B, S = k.shape[:2]
     K = q.shape[0] // B
     qb = q.reshape(B, K, H, Dh)
     if jax.default_backend() not in ("cpu",):
@@ -378,12 +447,14 @@ def beam_cross_attend(q: Array, k: Array, v: Array,
     Kp = max(8, K)  # sublane-pad the beam/query axis (see beam_decode_attend)
     if Kp != K:
         qb = jnp.pad(qb, ((0, 0), (0, Kp - K), (0, 0), (0, 0)))
-    logits = jnp.einsum("bqhd,bshd->bhqs", qb, k,
+    kb = k.reshape(B, S, H, Dh)
+    vb = v.reshape(B, S, H, Dh)
+    logits = jnp.einsum("bqhd,bshd->bhqs", qb, kb,
                         preferred_element_type=jnp.float32)  # (B,H,Kp,S)
     if mask is not None:
         logits = logits + mask.astype(jnp.float32).reshape(B, 1, 1, S)
     if bias is not None:
         logits = logits + bias.astype(jnp.float32)
     probs = jax.nn.softmax(logits, axis=-1).astype(q.dtype)
-    out = jnp.einsum("bhqs,bshd->bqhd", probs, v)
+    out = jnp.einsum("bhqs,bshd->bqhd", probs, vb)
     return out[:, :K].reshape(B * K, 1, H * Dh)
