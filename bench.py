@@ -85,6 +85,37 @@ def bench_step(cfg, tasks, B: int, n_steps: int = 10, windows: int = 3
     return B * n_steps / best_dt
 
 
+def bench_beam(cfg, B=500, beams=5, max_length=40, iters=3):
+    """Beam-5 caption-eval decode throughput (the published eval protocol:
+    scripts/image-text/VL-PET-large.sh num_beams 5, gen_max_length 40)."""
+    import dataclasses
+
+    from __graft_entry__ import _batch
+    from vlpet_tpu.models.generate import seq2seq_generate
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    cfg = dataclasses.replace(cfg, dtype="bfloat16")
+    model = VLBart(cfg)
+    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    params = jax.jit(lambda: model.init(
+        jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
+        vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+        labels=batch["target_ids"], ctx=PetContext()))()
+    ctx = PetContext(task="caption", task_idx=3)
+    fn = jax.jit(lambda p, b: seq2seq_generate(
+        model, p, input_ids=b["input_ids"],
+        attention_mask=b["attention_mask"], vis_feats=b["vis_feats"],
+        boxes=b["boxes"], ctx=ctx, num_beams=beams, max_length=max_length))
+    out = fn(params, batch)
+    _ = int(jnp.asarray(out[0, 0]))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, batch)
+    _ = int(jnp.asarray(out[0, 0]))
+    return B * iters / (time.perf_counter() - t0)
+
+
 def main():
     from __graft_entry__ import _flagship_cfg, _flagship_t5_cfg
 
@@ -94,6 +125,11 @@ def main():
     t5_cfg, t5_tasks = _flagship_t5_cfg()
     t5_ex = bench_step(t5_cfg, t5_tasks, B=300)
 
+    try:
+        beam_ex = round(bench_beam(cfg), 2)
+    except Exception:
+        beam_ex = None
+
     print(json.dumps({
         "metric": "train_examples_per_sec_per_chip (BART-base VL-PET-large multitask)",
         "value": round(bart_ex, 2),
@@ -101,6 +137,7 @@ def main():
         "vs_baseline": round(bart_ex / A100_EST_EX_PER_SEC, 3),
         "t5_examples_per_sec": round(t5_ex, 2),
         "t5_vs_bart": round(t5_ex / bart_ex, 3),
+        "beam5_decode_examples_per_sec": beam_ex,
     }))
 
 

@@ -97,13 +97,14 @@ def summarize(trace_dir, top=40):
         gflops = get(r, "model gflop")
         bw = get(r, "measured memory bw")
         bound = get(r, "bound by")
+        dma = get(r, "stalled by dma")
         if name is None or t is None:
             continue
         try:
             t = float(t)
         except (TypeError, ValueError):
             continue
-        stats.append((t, name, cat, occ, gflops, bw, bound))
+        stats.append((t, name, cat, occ, gflops, bw, bound, dma))
     stats.sort(reverse=True)
     total = sum(t for t, *_ in stats)
     print(f"total self time: {total/1000:.1f} ms (over traced window)")
@@ -112,8 +113,8 @@ def summarize(trace_dir, top=40):
         by_cat[cat] = by_cat.get(cat, 0.0) + t
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  category {str(cat):28s} {t/1000:8.3f} ms  {100*t/total:5.1f}%")
-    for t, name, cat, occ, gflops, bw, bound in stats[:top]:
-        extra = f" {gflops} GF/s, {bw} GiB/s, {bound}"
+    for t, name, cat, occ, gflops, bw, bound, dma in stats[:top]:
+        extra = f" {gflops} GF/s, {bw} GiB/s, {bound}, dma-stall {dma}%"
         print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ} "
               f"{str(name)[:70]} |{extra}")
 
