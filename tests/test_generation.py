@@ -203,3 +203,31 @@ class TestBeam:
         b = seq_logprob(seq2seq_generate(m, variables, **batch, ctx=ctx,
                                          num_beams=5, max_length=8))
         assert np.all(b >= g - 1e-4), (b, g)
+
+
+class TestBeamKernelPathParity:
+    def test_forced_pallas_beam_path_matches_cpu_fallback(self):
+        """E2E seq2seq beam decode through the TPU-only Pallas kernel branch
+        (interpret mode + _FORCE_KERNEL) vs the einsum fallback: identical
+        output sequences. Covers the ancestry-mode flat mask build
+        (beam_sel_big) and the beam-self-attend kernel end to end — on the
+        real TPU this branch is the one that runs (B is padded to a
+        multiple of 8 by seq2seq_generate)."""
+        import vlpet_tpu.ops.decode as D
+
+        m, variables, batch, cfg = make_model_and_batch(B=3)
+
+        def gen():
+            return seq2seq_generate(
+                m, variables, input_ids=batch["input_ids"],
+                attention_mask=batch["attention_mask"],
+                vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+                ctx=PetContext(), num_beams=3, max_length=6)
+
+        want = gen()
+        D._INTERPRET, D._FORCE_KERNEL = True, True
+        try:
+            got = gen()
+        finally:
+            D._INTERPRET, D._FORCE_KERNEL = False, False
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -159,3 +159,34 @@ def test_t5_zero_init_identity():
     # gate = sigmoid(0) = 0.5 scaled by 0.3 → encoder outputs are scaled but
     # finite; loss must be finite and logits must not be NaN
     assert np.isfinite(np.asarray(out["logits"])).all()
+
+
+def test_t5_forced_pallas_beam_path_matches_cpu_fallback():
+    """E2E T5 beam decode through the TPU-only Pallas kernel branch
+    (interpret + _FORCE_KERNEL) vs the einsum fallback — exercises the
+    per-head relative-bias row (bias_big) inside the beam-self-attend
+    kernel and the ancestry-mode flat mask build (see the BART analogue in
+    test_generation.py)."""
+    import vlpet_tpu.ops.decode as D
+    from vlpet_tpu.pet.modules import PetContext
+
+    cfg = tiny_t5_cfg()
+    m = VLT5(cfg)
+    rng = np.random.default_rng(3)
+    B, L = 3, 7
+    batch = dict(input_ids=jnp.asarray(rng.integers(2, 80, (B, L)), jnp.int32),
+                 attention_mask=jnp.ones((B, L), jnp.int32))
+    variables = m.init(jax.random.PRNGKey(0), **batch,
+                       labels=jnp.ones((B, 4), jnp.int32))
+
+    def gen():
+        return seq2seq_generate(m, variables, **batch, ctx=PetContext(),
+                                num_beams=3, max_length=6)
+
+    want = gen()
+    D._INTERPRET, D._FORCE_KERNEL = True, True
+    try:
+        got = gen()
+    finally:
+        D._INTERPRET, D._FORCE_KERNEL = False, False
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

@@ -40,6 +40,9 @@ NEG_INF = -1.0e9
 
 # tests monkeypatch to run the kernels in interpreter mode on CPU
 _INTERPRET = False
+# tests monkeypatch (together with _INTERPRET) to force the Pallas beam
+# kernel path on CPU — e2e coverage of the TPU-only branch
+_FORCE_KERNEL = False
 
 
 def beam_selection_mask(beam_anc: Array, decode_pos: Array, cache_len: int,
@@ -353,7 +356,8 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
     else:
         B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
-    if jax.default_backend() not in ("cpu",) and B % _BEAM_TB == 0:
+    if ((jax.default_backend() not in ("cpu",) or _FORCE_KERNEL)
+            and B % _BEAM_TB == 0):
         # Pallas kernel: reads the time-major cache natively (no XLA layout
         # transpose -> the cache dus stays in place) and keeps the softmax
         # in VMEM. seq2seq_generate pads B to a multiple of tb in beam mode.
@@ -378,7 +382,8 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         else:
             bias_big = jnp.zeros((H, L * tb * J), jnp.float32)
         out = _beam_self_attend_pallas(
-            q.reshape(B * K, H * Dh), k, v, sel_big, bias_big, H, K, J)
+            q.reshape(B * K, H * Dh), k, v, sel_big, bias_big, H, K, J,
+            interpret=_INTERPRET)
         return out.reshape(B * K, 1, H * Dh)
     if sel_mask is None:
         sel_mask = beam_selection_mask(anc, decode_pos, L, J)
