@@ -27,12 +27,20 @@ def build():
     from vlpet_tpu.train.steps import TrainState, make_train_step
 
     import dataclasses
-    cfg, tasks = _flagship_cfg()
-    cfg = dataclasses.replace(cfg, dtype="bfloat16")
-    if "scan" in sys.argv[1:]:  # profile the scan-over-layers variant
-        cfg = dataclasses.replace(cfg, scan_layers=True)
-    model = VLBart(cfg)
-    B = 500
+    if "t5" in sys.argv[1:]:  # profile the T5 flagship (bench.py's 2nd metric)
+        from __graft_entry__ import _flagship_t5_cfg
+        from vlpet_tpu.models.t5 import VLT5
+        cfg, tasks = _flagship_t5_cfg()
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        model = VLT5(cfg)
+        B = 300
+    else:
+        cfg, tasks = _flagship_cfg()
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        if "scan" in sys.argv[1:]:  # profile the scan-over-layers variant
+            cfg = dataclasses.replace(cfg, scan_layers=True)
+        model = VLBart(cfg)
+        B = 500
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],

@@ -126,6 +126,74 @@ def test_fused_attention_per_head_bias_input():
     np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5, atol=2e-5)
 
 
+def test_fused_attention_in_kernel_dropout():
+    """rate > 0: the kernel applies the hash keep-mask to the softmax
+    probabilities (T5 attention-dropout semantics) — fwd equals a plain-jnp
+    reference that computes the identical mask outside the kernel, the bwd
+    regenerates the mask (grads match the masked reference), and the keep
+    fraction is ~(1-rate)."""
+    from vlpet_tpu.ops.attention import (_pallas_attention,
+                                         _pallas_attention_bwd,
+                                         fused_attention_reference,
+                                         head_seed)
+    from vlpet_tpu.ops.hashdrop import keep_mask
+
+    rng = np.random.default_rng(7)
+    B, L, H, Dh = 4, 16, 4, 32
+    rate = 0.1
+    seed = jnp.asarray([12345], jnp.int32)
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    bias = mk(1, H, L, L)
+    compact = jnp.broadcast_to(
+        jnp.where(jnp.arange(L)[None, None, None, :] < 13, 0.0, -1e9),
+        (B, 1, 1, L)).astype(jnp.float32)
+    dense = jnp.broadcast_to(compact, (B, 1, L, L)) + bias
+
+    got = _pallas_attention(q, k, v, compact, H, False, bias, rate, seed,
+                            interpret=True)
+    want = fused_attention_reference(q, k, v, dense, H, rate=rate, seed=seed)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+    # dropout actually dropped something, at about the right rate
+    keep = np.stack([np.asarray(keep_mask((B, L, L), jnp.uint32(0),
+                                          head_seed(seed[0], h), rate))
+                     for h in range(H)], axis=1)
+    frac = keep.mean()
+    assert 0.85 <= frac <= 0.95, frac
+    assert not np.allclose(np.asarray(got), np.asarray(
+        fused_attention_reference(q, k, v, dense, H)))
+
+    # backward: regenerated mask must route gradients exactly like the
+    # reference with the same mask applied outside
+    do = mk(B, L, H * Dh)
+    dq, dk, dv = _pallas_attention_bwd(q, k, v, compact, do, H, False, bias,
+                                       rate, seed, interpret=True)
+    _, vjp = jax.vjp(
+        lambda q, k, v: fused_attention_reference(q, k, v, dense, H,
+                                                  rate=rate, seed=seed),
+        q, k, v)
+    rq, rk, rv = vjp(do)
+    np.testing.assert_allclose(np.asarray(dq), np.asarray(rq), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dk), np.asarray(rk), rtol=2e-5,
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(dv), np.asarray(rv), rtol=2e-5,
+                               atol=2e-5)
+
+    # multi-program grid (B=32 -> tb=16, 2 programs) must key the mask on
+    # the GLOBAL batch row: program 1's rows see the same mask as the
+    # single-program reference over the full batch
+    t = lambda x, reps: jnp.concatenate([x] * reps)
+    got_wide = _pallas_attention(t(q, 8), t(k, 8), t(v, 8), t(compact, 8),
+                                 H, False, bias, rate, seed, interpret=True)
+    want_wide = fused_attention_reference(t(q, 8), t(k, 8), t(v, 8),
+                                          t(dense, 8), H, rate=rate,
+                                          seed=seed)
+    np.testing.assert_allclose(np.asarray(got_wide), np.asarray(want_wide),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_model_with_pallas_attention_matches_xla():
     """Full VLBart forward with use_pallas_attention (interpret mode) must
     equal the XLA attention path."""

@@ -190,3 +190,77 @@ def test_t5_forced_pallas_beam_path_matches_cpu_fallback():
     finally:
         D._INTERPRET, D._FORCE_KERNEL = False, False
     np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_t5_train_step_pallas_attention_with_dropout():
+    """TRAINING through the fused attention kernel with in-kernel
+    attention-probs dropout (interpret mode). Before r3, dropout_rate > 0
+    forced every T5 train step onto the XLA einsum path (PERF.md r3 T5
+    profile: ~41 ms/step of layout copies at flagship shapes). Asserts the
+    step runs, the loss is finite, trainable params move, and the
+    deterministic (rate=0) forward still equals the XLA path exactly."""
+    import dataclasses
+
+    import optax
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vlpet_tpu.train.freezing import split_params
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    pet = vlpet_recipe("large", r=8, num_heads=4, gate_dim=8, tasks=TASKS)
+    cfg = VLModelConfig(
+        backbone=T5Config(vocab_size=80, d_model=32, d_kv=8, d_ff=64,
+                          num_layers=2, num_decoder_layers=2, num_heads=4,
+                          dropout_rate=0.1),
+        vis=VisConfig(feat_dim=8, n_boxes=4), pet=pet)
+    rng = np.random.default_rng(5)
+    B, L = 2, 6
+    batch = dict(input_ids=jnp.asarray(rng.integers(2, 80, (B, L)), jnp.int32),
+                 attention_mask=jnp.ones((B, L), jnp.int32),
+                 vis_feats=jnp.asarray(rng.normal(size=(B, 4, 8)), jnp.float32),
+                 boxes=jnp.asarray(rng.uniform(size=(B, 4, 4)), jnp.float32),
+                 target_ids=jnp.asarray(rng.integers(2, 80, (B, 4)), jnp.int32),
+                 scores=jnp.ones((B,), jnp.float32))
+
+    def run(pallas: bool):
+        c = dataclasses.replace(cfg, use_pallas_attention=pallas)
+        m = VLT5(c)
+        params = m.init(jax.random.PRNGKey(0), batch["input_ids"],
+                        batch["attention_mask"], vis_feats=batch["vis_feats"],
+                        boxes=batch["boxes"], labels=batch["target_ids"],
+                        ctx=PetContext())["params"]
+        mask = trainable_mask(params, c.pet)
+        trainable, frozen = split_params(params, mask)
+        tx = optax.adam(1e-3)
+        # the train step donates the state — copy so `params` stays live
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.array, trainable), tx)
+        step = make_train_step(m, tx, TASKS)
+        state, metrics = step(state, frozen, batch, jax.random.PRNGKey(1), 0)
+        return m, params, state, metrics
+
+    with pltpu.force_tpu_interpret_mode():
+        _, params, state, metrics = run(pallas=True)
+    assert np.isfinite(float(metrics["loss"]))
+    # the training step moved the trainable leaves (grads flowed through the
+    # dropped-probs attention)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))), state.params,
+        split_params(params, trainable_mask(params, cfg.pet))[0])
+    assert max(jax.tree_util.tree_leaves(moved)) > 0.0
+
+    # deterministic forward: Pallas (rate=0 branch) == XLA exactly
+    m_p = VLT5(dataclasses.replace(cfg, use_pallas_attention=True))
+    m_x = VLT5(dataclasses.replace(cfg, use_pallas_attention=False))
+    kw = dict(input_ids=batch["input_ids"],
+              attention_mask=batch["attention_mask"],
+              vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+              labels=batch["target_ids"])
+    with pltpu.force_tpu_interpret_mode():
+        out_p = m_p.apply({"params": params}, **kw, ctx=PetContext(),
+                          deterministic=True)
+    out_x = m_x.apply({"params": params}, **kw, ctx=PetContext(),
+                      deterministic=True)
+    np.testing.assert_allclose(np.asarray(out_p["logits"]),
+                               np.asarray(out_x["logits"]), rtol=2e-4,
+                               atol=2e-4)

@@ -325,16 +325,25 @@ class BartAttention(nn.Module):
         enabled = (jax.default_backend() not in ("cpu",) if flag is None
                    else flag)  # tri-state: None = auto-on for TPU
         use_pallas = (enabled
-                      and (self.dropout == 0.0 or deterministic)
                       and (mask is not None or causal) and L > 1)
         if use_pallas:
             from vlpet_tpu.ops.attention import fused_attention
 
+            # attention-probs dropout fuses in-kernel (hash mask). BART
+            # recipes keep attention_dropout at 0.0 (HF default), so this
+            # is a no-op for the published configs — it exists so nonzero
+            # attention_dropout doesn't silently fall back to XLA attention
+            # the way T5's dropout_rate did (PERF.md r3 T5 profile).
+            rate = 0.0 if deterministic else float(self.dropout)
+            seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                    if rate > 0.0 else None)
             m = (mask.astype(jnp.float32) if mask is not None
                  else jnp.zeros((1, 1, 1, S), jnp.float32))
             return fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
                                    v.reshape(B, S, -1), m, self.num_heads,
-                                   causal)
+                                   causal, None, rate, seed)
         logits = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
         if mask is not None:

@@ -240,7 +240,6 @@ class T5Attention(nn.Module):
                    else (jax.default_backend() not in ("cpu",)
                          and not self.cfg.pet.unfreeze_language_model))
         use_pallas = (enabled
-                      and (b.dropout_rate == 0.0 or deterministic)
                       and (position_bias is not None or pad_mask is not None)
                       and L > 1)
         if use_pallas:
@@ -250,8 +249,18 @@ class T5Attention(nn.Module):
             # separate bias input; the per-batch padding mask rides in its
             # length-collapsed (B,1,1,S) form — their (B,H,L,S) sum never
             # materializes (it cost ~200 MB/step at flagship T5 shapes).
+            # Attention-probs dropout (reference T5 applies dropout_rate to
+            # the softmax weights) is fused IN-KERNEL via the hash mask —
+            # before this, every training step fell back to the XLA einsum
+            # path (~41 ms/step of layout copies + u32 rng at flagship
+            # shapes; PERF.md r3 T5 profile).
             from vlpet_tpu.ops.attention import fused_attention
 
+            rate = 0.0 if deterministic else float(b.dropout_rate)
+            seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
+                                       jnp.iinfo(jnp.int32).max,
+                                       dtype=jnp.int32)
+                    if rate > 0.0 else None)
             bias = None
             m = pad_mask
             if position_bias is not None and position_bias.shape[1] > 1:
@@ -265,7 +274,7 @@ class T5Attention(nn.Module):
             out = fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
                                   v.reshape(B, S, -1),
                                   m.astype(jnp.float32), b.num_heads,
-                                  False, bias)
+                                  False, bias, rate, seed)
             return self.o(out), new_cache
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)

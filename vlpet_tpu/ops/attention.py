@@ -20,6 +20,16 @@ the backward (PERF.md "What was tried"); this version wins in training too.
 Gradients: jax.custom_vjp; the backward kernel recomputes the softmax in
 VMEM (standard recompute) and emits dq/dk/dv in the same multi-row layout.
 The mask gets a zero cotangent (frozen in every PET recipe).
+
+Attention-probability dropout (``rate`` > 0) is fused in-kernel via the
+hash-mask scheme (ops/hashdrop.py): the keep mask is a pure function of
+(seed, head, element index), regenerated in the backward — nothing stored.
+This matters for T5, whose reference applies ``dropout_rate`` (0.1) to the
+softmax probabilities (my_transformers/modeling_t5.py T5Attention), so every
+TRAINING step fell back to the XLA einsum path: at flagship T5 shapes that
+cost ~41 ms/step of layout copies + (B, H, L, S) u32 rng tensors (25% of
+the step — PERF.md r3 T5 profile). BART recipes keep attention_dropout at
+0.0 (HF default), so BART trains through this kernel either way.
 """
 
 from __future__ import annotations
@@ -32,7 +42,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from vlpet_tpu.ops.hashdrop import keep_mask
+
 Array = jax.Array
+
+
+def head_seed(seed, h: int):
+    """Per-head seed: keep_mask's flat element index covers (batch, L, S)
+    only, so heads decorrelate via a golden-ratio seed offset (tests
+    recompute the identical mask outside the kernel with this helper)."""
+    return seed.astype(jnp.uint32) + jnp.uint32((h * 0x9E3779B9) & 0xFFFFFFFF)
 
 
 def _block_rows(B: int, cap: int = 16) -> int:
@@ -107,11 +126,15 @@ def _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref, bias_ref,
 
 
 def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                causal: bool, compact: bool, has_bias: bool,
-                q_ref, k_ref, v_ref, mask_ref, *rest):
+                causal: bool, compact: bool, has_bias: bool, rate: float,
+                *refs):
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
     bias_ref = rest[0] if has_bias else None
     out_ref = rest[-1]
-    L = q_ref.shape[1]
     shared, allowed = _shared_terms(per_head_mask, causal, compact,
                                     q_ref, k_ref, mask_ref)
     # NOTE: batching all H softmaxes into one call over sublane-concatenated
@@ -123,7 +146,13 @@ def _fwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         p = jax.nn.softmax(
             _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref,
                          bias_ref, shared, allowed, h),
-            axis=-1).astype(q_ref.dtype)
+            axis=-1)
+        if rate > 0.0:
+            row_base = pl.program_id(0) * q_ref.shape[0]
+            keep = keep_mask(p.shape, row_base, head_seed(seed_ref[0], h),
+                             rate)
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        p = p.astype(q_ref.dtype)
         o = jax.lax.dot_general(p, _heads(v_ref, h, head_dim),
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -153,7 +182,8 @@ def _specs(B, L, S, inner, Hm, Bm, Lm, tb, ms):
 
 def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
                       num_heads: int, causal: bool = False,
-                      bias: Optional[Array] = None,
+                      bias: Optional[Array] = None, rate: float = 0.0,
+                      seed: Optional[Array] = None,
                       *, interpret: bool = False) -> Array:
     B, L, inner = q.shape
     S = k.shape[1]
@@ -168,8 +198,12 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
                                      tb, ms)
-    in_specs = [spec_q, spec_kv, spec_kv, spec_m]
-    args = [q, k, v, mask]
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [q, k, v, mask]
     if bias is not None:
         assert bias.shape == (1, num_heads, L, S), bias.shape
         in_specs.append(pl.BlockSpec((1, num_heads, L, S),
@@ -177,7 +211,7 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
         args.append(bias)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, num_heads, head_dim, per_head, causal,
-                          compact, bias is not None),
+                          compact, bias is not None, rate),
         grid=(B // tb,),
         in_specs=in_specs,
         out_specs=spec_q,
@@ -187,7 +221,7 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
 
 
 def fused_attention_reference(q, k, v, mask, num_heads, causal=False,
-                              bias=None):
+                              bias=None, rate=0.0, seed=None):
     B, L, inner = q.shape
     S = k.shape[1]
     hd = inner // num_heads
@@ -202,16 +236,29 @@ def fused_attention_reference(q, k, v, mask, num_heads, causal=False,
     if causal:
         s = jnp.where(_causal_allowed(L, S)[None, None], s,
                       jnp.float32(-1e9))
-    p = jax.nn.softmax(s, axis=-1).astype(q.dtype)
+    p = jax.nn.softmax(s, axis=-1)
+    if rate > 0.0:
+        # the kernel's exact hash mask, computed with plain jnp ops
+        keep = jnp.stack([keep_mask((B, L, S), jnp.uint32(0),
+                                    head_seed(seed[0], h), rate)
+                          for h in range(num_heads)], axis=1)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    p = p.astype(q.dtype)
     o = jnp.einsum("bhqk,bkhd->bqhd", p, vh)
     return o.reshape(B, L, inner)
 
 
 def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
-                causal: bool, compact: bool, has_bias: bool,
-                q_ref, k_ref, v_ref, mask_ref, *rest):
+                causal: bool, compact: bool, has_bias: bool, rate: float,
+                *refs):
     """Recomputes p in VMEM and emits dq/dk/dv — no HBM round trips for the
-    (TB, L, S) intermediates."""
+    (TB, L, S) intermediates. With ``rate`` > 0 the forward's dropout mask
+    is regenerated from (seed, head, element index) — nothing was saved."""
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
     if has_bias:
         bias_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
     else:
@@ -228,13 +275,25 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         s = _head_logits(head_dim, per_head_mask, q_ref, k_ref, mask_ref,
                          bias_ref, shared, allowed, h)
         p = jax.nn.softmax(s, axis=-1)
-        # dv = p^T @ do   (contract L)
-        dv = jax.lax.dot_general(p, do, (((1,), (1,)), ((0,), (0,))),
+        if rate > 0.0:
+            row_base = pl.program_id(0) * q_ref.shape[0]
+            keep = keep_mask(p.shape, row_base, head_seed(seed_ref[0], h),
+                             rate)
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)  # the forward's dropped probs
+        else:
+            keep = None
+            pd = p
+        # dv = pd^T @ do   (contract L)
+        dv = jax.lax.dot_general(pd, do, (((1,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
-        # dp = do @ v^T ; ds = p * (dp - rowsum(dp*p))
+        # dp = do @ v^T (grad wrt dropped probs) ; route through the mask ;
+        # ds = p * (dp - rowsum(dp*p))  (softmax bwd uses UNdropped p)
         dp = jax.lax.dot_general(do, v.astype(jnp.float32),
                                  (((2,), (2,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp * inv, 0.0)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
         dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
                                  (((2,), (1,)), ((0,), (0,))),
@@ -248,7 +307,7 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
 
 
 def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
-                          bias=None, *, interpret=False):
+                          bias=None, rate=0.0, seed=None, *, interpret=False):
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
@@ -258,12 +317,19 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     if compact:
         mask = jnp.broadcast_to(mask.reshape(mask.shape[0], 1, S),
                                 (mask.shape[0], 8, S))
-    tb = _block_rows(B)
+    # dropout adds keep + dropped-probs score-space buffers to the already
+    # p/dp/ds-resident backward: tb=15 at flagship T5 encoder shapes blows
+    # the 16 MB scoped-vmem stack by ~0.7 MB — halve the block.
+    tb = _block_rows(B, cap=8 if rate > 0.0 else 16)
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_q, spec_kv, spec_m = _specs(B, L, S, inner, Hm, mask.shape[0], Lm,
                                      tb, ms)
-    in_specs = [spec_q, spec_kv, spec_kv, spec_m]
-    args = [q, k, v, mask]
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [q, k, v, mask]
     if bias is not None:
         in_specs.append(pl.BlockSpec((1, num_heads, L, S),
                                      lambda b: (0, 0, 0, 0), memory_space=ms))
@@ -272,7 +338,7 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     args.append(do)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads, head_dim, per_head, causal,
-                          compact, bias is not None),
+                          compact, bias is not None, rate),
         grid=(B // tb,),
         in_specs=in_specs,
         out_specs=(spec_q, spec_kv, spec_kv),
@@ -283,10 +349,11 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
 def fused_attention(q: Array, k: Array, v: Array, mask: Array,
                     num_heads: int, causal: bool = False,
-                    bias: Optional[Array] = None) -> Array:
+                    bias: Optional[Array] = None, rate: float = 0.0,
+                    seed: Optional[Array] = None) -> Array:
     """q (B, L, H·Dh) pre-scaled; k, v (B, S, H·Dh); mask additive
     (B|1, 1|H, 1|L, S) — a length-collapsed (.., 1, S) padding mask
     broadcasts inside the kernel, saving the (TB, L, S) fp32 mask load.
@@ -294,26 +361,31 @@ def fused_attention(q: Array, k: Array, v: Array, mask: Array,
     (offset S-L for prefix slots) — no mask tensor materializes in HBM.
     ``bias`` is an optional batch-shared per-head additive (1, H, L, S)
     (T5 relative positions), kept separate from the per-batch mask so the
-    (B, H, L, S) sum never materializes. Returns (B, L, H·Dh).
+    (B, H, L, S) sum never materializes. ``rate`` > 0 applies dropout to
+    the softmax probabilities in-kernel (T5 training semantics; ``seed``
+    is a (1,) int32 driving the hash mask — ops/hashdrop.py — regenerated
+    in the backward). Returns (B, L, H·Dh).
 
     NOTE: mask and bias are treated as non-differentiable (zero
     cotangent). True for every PET recipe (the T5 relative bias is
     frozen); T5Attention auto-falls-back to the XLA path under
     unfreeze_language_model (use_pallas_attention=None tri-state)."""
-    return _pallas_attention(q, k, v, mask, num_heads, causal, bias)
+    return _pallas_attention(q, k, v, mask, num_heads, causal, bias, rate,
+                             seed)
 
 
-def _fwd(q, k, v, mask, num_heads, causal, bias):
-    return (_pallas_attention(q, k, v, mask, num_heads, causal, bias),
-            (q, k, v, mask, bias))
+def _fwd(q, k, v, mask, num_heads, causal, bias, rate, seed):
+    return (_pallas_attention(q, k, v, mask, num_heads, causal, bias, rate,
+                              seed),
+            (q, k, v, mask, bias, seed))
 
 
-def _bwd(num_heads, causal, res, do):
-    q, k, v, mask, bias = res
+def _bwd(num_heads, causal, rate, res, do):
+    q, k, v, mask, bias, seed = res
     dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal,
-                                       bias)
+                                       bias, rate, seed)
     return (dq, dk, dv, jnp.zeros_like(mask),
-            None if bias is None else jnp.zeros_like(bias))
+            None if bias is None else jnp.zeros_like(bias), None)
 
 
 fused_attention.defvjp(_fwd, _bwd)
