@@ -1,7 +1,8 @@
 """A/B the flagship train step across config variants on the TPU.
 
 Usage: python scripts/bench_step_variants.py [--fresh-cache] [variant ...]
-Variants: base | remat_dots | remat_full | fused_ce | scan  (default: all)
+Variants: base | remat_dots | remat_full | fused_ce | scan | t5_base |
+t5_xla_attn  (default: all)
 
 --fresh-cache compiles into a throwaway cache dir so the reported
 ``compile_s`` is a true cold-compile time (the default reuses the
@@ -38,20 +39,32 @@ VARIANTS = {
     "fused_ce": {"use_fused_ce": True},
     # lax.scan over layers: one traced/compiled layer body (compile-time lead)
     "scan": {"scan_layers": True},
+    # T5 flagship (bench.py's 2nd metric) + its pre-r3 training path (the
+    # dropout_rate>0 XLA fallback — PERF.md "r3 T5 profile" A/B)
+    "t5_base": {"_t5": True},
+    "t5_xla_attn": {"_t5": True, "use_pallas_attention": False},
 }
 
 
 def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
-    from __graft_entry__ import _batch, _flagship_cfg
+    from __graft_entry__ import _batch, _flagship_cfg, _flagship_t5_cfg
+    from vlpet_tpu.models.t5 import VLT5
     from vlpet_tpu.models.vlbart import VLBart
     from vlpet_tpu.pet.modules import PetContext
     from vlpet_tpu.train.freezing import split_params, trainable_mask
     from vlpet_tpu.train.optim import build_optimizer
     from vlpet_tpu.train.steps import TrainState, make_train_step
 
-    cfg, tasks = _flagship_cfg()
-    cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
-    model = VLBart(cfg)
+    overrides = dict(overrides)
+    if overrides.pop("_t5", False):
+        cfg, tasks = _flagship_t5_cfg()
+        B = 300  # published T5 recipe batch
+        cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
+        model = VLT5(cfg)
+    else:
+        cfg, tasks = _flagship_cfg()
+        cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
+        model = VLBart(cfg)
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
