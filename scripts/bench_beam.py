@@ -24,16 +24,27 @@ def main():
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--profile", type=str, default=None,
                     help="directory for a jax.profiler trace of one batch")
+    ap.add_argument("--t5", action="store_true",
+                    help="decode through the T5 flagship (batch 300 recipe)")
     args = ap.parse_args()
 
+    from vlpet_tpu.models.t5 import VLT5
     from vlpet_tpu.models.vlbart import VLBart
     from vlpet_tpu.models.generate import seq2seq_generate
     from vlpet_tpu.pet.modules import PetContext
 
-    cfg, tasks = _flagship_cfg()
     import dataclasses
-    cfg = dataclasses.replace(cfg, dtype="bfloat16")
-    model = VLBart(cfg)
+    if args.t5:
+        from __graft_entry__ import _flagship_t5_cfg
+        cfg, tasks = _flagship_t5_cfg()
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        model = VLT5(cfg)
+        if args.batch == 500:
+            args.batch = 300  # published T5 recipe batch
+    else:
+        cfg, tasks = _flagship_cfg()
+        cfg = dataclasses.replace(cfg, dtype="bfloat16")
+        model = VLBart(cfg)
     batch = _batch(cfg, B=args.batch, L_txt=20, L_tgt=10)
     params = model.init(jax.random.PRNGKey(0), batch["input_ids"],
                         batch["attention_mask"], vis_feats=batch["vis_feats"],

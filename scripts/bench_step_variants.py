@@ -39,6 +39,10 @@ VARIANTS = {
     "fused_ce": {"use_fused_ce": True},
     # lax.scan over layers: one traced/compiled layer body (compile-time lead)
     "scan": {"scan_layers": True},
+    # remat inside the scan body: the stacked saved-intermediate DUS traffic
+    # (the scan variant's -29%) shrinks to the carry + what the policy saves
+    "scan_remat_dots": {"scan_layers": True, "remat": "dots"},
+    "scan_remat_full": {"scan_layers": True, "remat": "full"},
     # T5 flagship (bench.py's 2nd metric) + its pre-r3 training path (the
     # dropout_rate>0 XLA fallback — PERF.md "r3 T5 profile" A/B)
     "t5_base": {"_t5": True},

@@ -39,6 +39,10 @@ def build():
         cfg = dataclasses.replace(cfg, dtype="bfloat16")
         if "scan" in sys.argv[1:]:  # profile the scan-over-layers variant
             cfg = dataclasses.replace(cfg, scan_layers=True)
+        if "remat_dots" in sys.argv[1:]:
+            cfg = dataclasses.replace(cfg, remat="dots")
+        if "remat_full" in sys.argv[1:]:
+            cfg = dataclasses.replace(cfg, remat="full")
         model = VLBart(cfg)
         B = 500
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
@@ -96,6 +100,7 @@ def summarize(trace_dir, top=40):
                 if n.lower() in str(k).lower():
                     return r[k]
         return None
+    optext = "optext" in sys.argv[1:]  # include truncated HLO op text
     stats = []
     for r in rows:
         name = get(r, "hlo op name", "op name", "name", "hlo_op")
@@ -112,7 +117,8 @@ def summarize(trace_dir, top=40):
             t = float(t)
         except (TypeError, ValueError):
             continue
-        stats.append((t, name, cat, occ, gflops, bw, bound, dma))
+        text = get(r, "hlo op text") if optext else None
+        stats.append((t, name, cat, occ, gflops, bw, bound, dma, text))
     stats.sort(reverse=True)
     total = sum(t for t, *_ in stats)
     print(f"total self time: {total/1000:.1f} ms (over traced window)")
@@ -121,10 +127,12 @@ def summarize(trace_dir, top=40):
         by_cat[cat] = by_cat.get(cat, 0.0) + t
     for cat, t in sorted(by_cat.items(), key=lambda kv: -kv[1]):
         print(f"  category {str(cat):28s} {t/1000:8.3f} ms  {100*t/total:5.1f}%")
-    for t, name, cat, occ, gflops, bw, bound, dma in stats[:top]:
+    for t, name, cat, occ, gflops, bw, bound, dma, text in stats[:top]:
         extra = f" {gflops} GF/s, {bw} GiB/s, {bound}, dma-stall {dma}%"
         print(f"{t/1000:9.3f} ms  {100*t/total:5.1f}%  [{cat}] x{occ} "
               f"{str(name)[:70]} |{extra}")
+        if text:
+            print(f"           {str(text)[:300]}")
 
 
 def main():

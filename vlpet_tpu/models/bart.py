@@ -1055,8 +1055,12 @@ class BartDecoder(nn.Module):
         if self.scan_ok:
             # single scanned layer; training/teacher-forcing path only —
             # decode (cache/cross_kvs) runs on a non-scan twin model with
-            # unstacked params (models/scan_utils.py)
-            self.scan_layer = layer_cls(c, 0, name="layers")
+            # unstacked params (models/scan_utils.py). Always the PLAIN
+            # layer: the decoder's scan save-stack is 5.6x smaller than the
+            # encoder's (L=10 vs 56) and remat'ing it trips a Mosaic
+            # scoped-vmem limit in the fused-FFN backward at (5120, 768)
+            # (PERF.md "scan + remat").
+            self.scan_layer = BartDecoderLayer(c, 0, name="layers")
             self.layers = []
         else:
             self.layers = [layer_cls(c, i, name=f"layers_{i}")
@@ -1207,9 +1211,12 @@ class BartDecoder(nn.Module):
                 "decode via a non-scan twin model (models/scan_utils.py)"
 
             def body(layer, carry, _):
+                # full positional form (incl. beam_fused=False) so nn.remat's
+                # static_argnums (11, 12) line up with the loop path's
                 out, _lc = layer(carry, ctx.for_layer(None),
                                  encoder_hidden_states, self_mask, cross_mask,
-                                 None, None, None, None, None, deterministic)
+                                 None, None, None, None, None, False,
+                                 deterministic)
                 return out, None
 
             scan = nn.scan(body, variable_axes={"params": 0},
