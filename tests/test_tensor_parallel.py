@@ -114,3 +114,111 @@ def test_tp_rules_actually_shard():
                     name, leaf.shape, shard_shape)
                 found.add(pat)
     assert found == set(_TP_FAMILIES), found
+
+
+def test_checkpoint_restores_across_mesh_layouts(tmp_path):
+    """Preemption recovery on a RESHAPED fleet: a TrainState saved while
+    training under mesh (data=4, model=2) restores into a (data=2, model=4)
+    session — orbax reshards to the template's target shardings — and the
+    continued run stays step-for-step equivalent to an uninterrupted
+    unsharded run. The reference could not resume at all (trainer_base.py
+    saves weights only)."""
+    from vlpet_tpu.train.checkpoint import CheckpointManager
+
+    cfg, m, params, batch = setup_tiny()
+    mask = trainable_mask(params, cfg.pet)
+    trainable, frozen = split_params(params, mask)
+    big = {k: (np.concatenate([np.asarray(v)] * 2, 0)
+               if hasattr(v, "shape") and v.shape and v.shape[0] == 4 else v)
+           for k, v in batch.items()}
+    tx = build_optimizer(trainable, lr=1e-2, total_steps=10)
+    step = make_train_step(m, tx, TASKS)
+    rngs = [jax.random.PRNGKey(i) for i in range(3)]
+
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    def place(tree, mesh):
+        return jax.device_put(tree, param_shardings(tree, mesh))
+
+    def on_mesh(tree, mesh):
+        # scalars from tx.init (count, step) sit on device 0; commit them
+        # replicated so the whole state lives on one device set
+        rep = NamedSharding(mesh, PartitionSpec())
+        return jax.tree_util.tree_map(
+            lambda x: x if isinstance(getattr(x, "sharding", None),
+                                      NamedSharding) else jax.device_put(x, rep),
+            tree)
+
+    # uninterrupted unsharded run: 3 steps
+    s_ref = TrainState.create(jax.tree_util.tree_map(jnp.array, trainable), tx)
+    losses_ref = []
+    for r in rngs:
+        s_ref, mtr = step(s_ref, frozen, big, r, 0)
+        losses_ref.append(float(mtr["loss"]))
+
+    # phase 1: 2 steps under mesh A, save
+    mesh_a = build_mesh(MeshConfig(data=4, model=2))
+    bs_a = batch_sharding(mesh_a)
+    s_a = TrainState.create(place(jax.tree_util.tree_map(jnp.array, trainable),
+                                  mesh_a), tx)
+    s_a = TrainState(params=s_a.params, opt_state=on_mesh(s_a.opt_state, mesh_a),
+                     step=on_mesh(s_a.step, mesh_a))
+    frozen_a = place(frozen, mesh_a)
+    batch_a = {k: jax.device_put(jnp.asarray(v), bs_a) for k, v in big.items()}
+    for i, r in enumerate(rngs[:2]):
+        s_a, mtr = step(s_a, frozen_a, batch_a, r, 0)
+        np.testing.assert_allclose(float(mtr["loss"]), losses_ref[i],
+                                   rtol=1e-5)
+    ckpt = CheckpointManager(str(tmp_path / "ckpt"))
+    # full-state save incl. the frozen tree — that's where the TP-split
+    # big matrices (fc1/fc2, q/v, shared) live in a PET recipe
+    ckpt.save(2, {"params": s_a.params, "opt_state": s_a.opt_state,
+                  "frozen": frozen_a, "step": 2})
+    ckpt.wait()
+    ckpt.close()
+
+    # phase 2: fresh session under mesh B — the template carries mesh B
+    # shardings, so orbax delivers every leaf already resharded
+    mesh_b = build_mesh(MeshConfig(data=2, model=4))
+    s_b0 = TrainState.create(place(jax.tree_util.tree_map(jnp.array, trainable),
+                                   mesh_b), tx)
+    s_b0 = TrainState(params=s_b0.params,
+                      opt_state=on_mesh(s_b0.opt_state, mesh_b),
+                      step=on_mesh(s_b0.step, mesh_b))
+    frozen_b_t = place(frozen, mesh_b)
+    ckpt2 = CheckpointManager(str(tmp_path / "ckpt"))
+    data = ckpt2.restore(template={"params": s_b0.params,
+                                   "opt_state": s_b0.opt_state,
+                                   "frozen": frozen_b_t, "step": 0})
+    ckpt2.close()
+    assert data["step"] == 2
+    assert (jax.tree_util.tree_structure(data["opt_state"])
+            == jax.tree_util.tree_structure(s_b0.opt_state))
+
+    # every restored leaf lands on its mesh B template sharding, and the
+    # rule-matched families (saved 2-way-split under A) come back 4-way
+    # split — orbax genuinely resharded, no replication
+    for (name, a), (_, t) in zip(_flat_with_paths(data["params"]),
+                                 _flat_with_paths(s_b0.params)):
+        assert a.sharding == t.sharding, name
+    found = 0
+    for name, leaf in _flat_with_paths(data["frozen"]):
+        if any(re.search(p, name) for p in _TP_FAMILIES):
+            shard = leaf.sharding.shard_shape(leaf.shape)
+            assert np.prod(shard) * 4 == np.prod(leaf.shape), (name, leaf.shape,
+                                                               shard)
+            found += 1
+    assert found > 0
+
+    # continue training under mesh B: step 3 equals the uninterrupted run
+    s_b = TrainState(params=data["params"], opt_state=data["opt_state"],
+                     step=on_mesh(s_b0.step + 2, mesh_b))
+    frozen_b = data["frozen"]
+    bs_b = batch_sharding(mesh_b)
+    batch_b = {k: jax.device_put(jnp.asarray(v), bs_b) for k, v in big.items()}
+    s_b, mtr = step(s_b, frozen_b, batch_b, rngs[2], 0)
+    np.testing.assert_allclose(float(mtr["loss"]), losses_ref[2], rtol=1e-5)
+    for (name, a), (_, b) in zip(_flat_with_paths(s_b.params),
+                                 _flat_with_paths(s_ref.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6, err_msg=name)
