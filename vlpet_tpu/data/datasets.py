@@ -194,10 +194,13 @@ class TaskDataset:
                 target_ids[i, :len(ids)] = ids
             out["target_ids"] = target_ids
         if cfg.use_vision and "images" in batch[0]:
-            out["images"] = np.stack([e["images"] for e in batch]).astype(np.float32)
+            out["images"] = _stack_f32(batch, "images")
         elif cfg.use_vision:
-            out["vis_feats"] = np.stack([e["vis_feats"] for e in batch]).astype(np.float32)
-            out["boxes"] = np.stack([e["boxes"] for e in batch]).astype(np.float32)
+            # preallocated fill — np.stack + astype made two full copies of
+            # the ~30 MB feature batch (the collate hot spot on the 1-core
+            # host: scripts/bench_input_pipeline.py)
+            out["vis_feats"] = _stack_f32(batch, "vis_feats")
+            out["boxes"] = _stack_f32(batch, "boxes")
             if "img_order_ids" in batch[0]:
                 out["img_order_ids"] = np.stack([e["img_order_ids"] for e in batch])
                 out["obj_order_ids"] = np.stack([e["obj_order_ids"] for e in batch])
@@ -214,6 +217,16 @@ class TaskDataset:
         if "is_topk_optimal" in batch[0]:  # reference keeps the exact name
             out["is_topk_optimal"] = [e.get("is_topk_optimal") for e in batch]
         return out
+
+
+def _stack_f32(batch: List[Dict], key: str) -> np.ndarray:
+    """One-copy float32 batch stack: rows write straight into the output
+    (np.stack(...).astype(np.float32) costs two full passes)."""
+    first = np.asarray(batch[0][key])
+    out = np.empty((len(batch),) + first.shape, np.float32)
+    for i, e in enumerate(batch):
+        out[i] = e[key]
+    return out
 
 
 class Loader:
