@@ -717,3 +717,52 @@ def test_beam_decode_attend_update_matches_dus_path():
                                    rtol=2e-5, atol=2e-5)
     finally:
         D._INTERPRET = False
+
+
+def test_hash_dropout_jnp_level():
+    """The jnp-level hash_dropout (residual/embedding sites outside Pallas
+    kernels): inverted-scale semantics, keep fraction ~(1-rate), seed
+    determinism, and the flax-module wrapper draws from the 'dropout'
+    stream (deterministic → identity)."""
+    import flax.linen as nn
+
+    from vlpet_tpu.ops.hashdrop import (hash_dropout, keep_mask,
+                                        module_hash_dropout)
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(8, 32, 64)), jnp.float32)
+    rate = 0.1
+    seed = jnp.int32(987654)
+
+    y = np.asarray(hash_dropout(x, seed, rate))
+    keep = np.asarray(keep_mask(x.shape, jnp.uint32(0), seed, rate))
+    # exact semantics: kept elements scaled by 1/(1-rate), dropped are 0
+    np.testing.assert_allclose(y, np.where(keep, np.asarray(x) / (1 - rate), 0.0),
+                               rtol=1e-6)
+    assert 0.85 <= keep.mean() <= 0.95
+    # deterministic in the seed; different seeds give different masks
+    np.testing.assert_array_equal(y, np.asarray(hash_dropout(x, seed, rate)))
+    assert not np.array_equal(y, np.asarray(hash_dropout(x, seed + 1, rate)))
+
+    class M(nn.Module):
+        @nn.compact
+        def __call__(self, x, deterministic):
+            return module_hash_dropout(self, x, rate, deterministic)
+
+    m = M()
+    out_det = m.apply({}, x, True)
+    np.testing.assert_array_equal(np.asarray(out_det), np.asarray(x))
+    k = jax.random.PRNGKey(5)
+    out = np.asarray(m.apply({}, x, False, rngs={"dropout": k}))
+    # same rng → same mask; different rng → different mask (make_rng folds
+    # the key with the module path, so only reproducibility is contractual)
+    np.testing.assert_array_equal(
+        out, np.asarray(m.apply({}, x, False, rngs={"dropout": k})))
+    assert not np.array_equal(
+        out, np.asarray(m.apply({}, x, False,
+                                rngs={"dropout": jax.random.PRNGKey(6)})))
+    zeros = out == 0.0
+    assert 0.05 <= zeros.mean() <= 0.15
+    kept = ~zeros
+    np.testing.assert_allclose(out[kept], np.asarray(x)[kept] / (1 - rate),
+                               rtol=1e-6)

@@ -32,6 +32,7 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
+from vlpet_tpu.ops.hashdrop import module_hash_dropout
 from vlpet_tpu.config import (BartConfig, HyperformerSpec, PetConfig, PromptSpec,
                               VisConfig, VLModelConfig)
 from vlpet_tpu.pet.hypernet import (
@@ -971,7 +972,7 @@ class JointEncoder(nn.Module):
             h = nn.LayerNorm(epsilon=1e-5, dtype=dt, name="layernorm_embedding")(inputs_embeds)
             joint_mask = attention_mask
 
-        h = nn.Dropout(rate=b.dropout)(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, b.dropout, deterministic)
         # length-collapsed (B, 1, 1, S) additive mask: broadcasts in both the
         # Pallas kernel and the XLA einsum path without ever materializing
         # the (B, 1, L, S) form in HBM
@@ -1044,7 +1045,6 @@ class BartDecoder(nn.Module):
                                           (b.max_position_embeddings + 2, b.d_model))
         self.layernorm_embedding = nn.LayerNorm(epsilon=1e-5, dtype=self._dtype,
                                                 name="layernorm_embedding")
-        self.emb_dropout = nn.Dropout(rate=b.dropout)
         layer_cls = BartDecoderLayer
         if c.remat != "none":
             # deterministic (positional idx 11, module at 0) is static
@@ -1187,7 +1187,7 @@ class BartDecoder(nn.Module):
                 self_mask = jnp.where(j <= decode_pos, 0.0, NEG_INF).astype(dt)
 
         h = self.layernorm_embedding(h)
-        h = self.emb_dropout(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, b.dropout, deterministic)
 
         cross_mask = None
         if encoder_attention_mask is not None:

@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
+from vlpet_tpu.ops.hashdrop import module_hash_dropout
 from vlpet_tpu.config import HyperformerSpec, PromptSpec, T5Config, VLModelConfig
 from vlpet_tpu.models.bart import NEG_INF, expand_mask
 from vlpet_tpu.models.visual import VisualEmbedding, LowRankVisualEmbedding, downsample_vis
@@ -437,6 +438,14 @@ class T5Block(nn.Module):
                 add_layer_norm_after_adapter=p.add_layer_norm_after_adapter,
                 name="adapter_hypernet") if p.use_hyperformer else None)
 
+    def _res_drop(self, y: Array, deterministic: bool) -> Array:
+        """Residual-path dropout via the hash mask (ops/hashdrop.py): the
+        integer hash fuses into XLA's add fusion, so no (B, L, D)
+        rng-bit-generator tensor materializes (~2 ms/step across the 72
+        residual sites at flagship T5 shapes — PERF.md r3 T5 profile)."""
+        return module_hash_dropout(self, y, self.cfg.backbone.dropout_rate,
+                                   deterministic)
+
     def _ff(self, x: Array, deterministic: bool) -> Array:
         b: T5Config = self.cfg.backbone
         gated = b.feed_forward_proj == "gated-gelu"
@@ -503,7 +512,7 @@ class T5Block(nn.Module):
                 y = self.attn_adapter(y, ctx)
             if self.adapter_hypernet is not None and block is not None:
                 y = self.adapter_hypernet(y, block.self_attention)
-        hidden_states = x + self.dropout(y, deterministic=deterministic)
+        hidden_states = x + self._res_drop(y, deterministic)
 
         # --- cross-attention -------------------------------------------------
         if self.is_decoder and (encoder_hidden_states is not None
@@ -519,7 +528,7 @@ class T5Block(nn.Module):
             if (self.adapter_hypernet is not None and block is not None
                     and self.cfg.pet.add_adapter_cross_attn):
                 y = self.adapter_hypernet(y, block.cross_attention)
-            hidden_states = x + self.dropout(y, deterministic=deterministic)
+            hidden_states = x + self._res_drop(y, deterministic)
 
         # --- feed-forward ----------------------------------------------------
         x = hidden_states
@@ -531,7 +540,7 @@ class T5Block(nn.Module):
                 y = self.ff_adapter(y, ctx)
             if self.adapter_hypernet is not None and block is not None:
                 y = self.adapter_hypernet(y, block.feed_forward)
-        hidden_states = x + self.dropout(y, deterministic=deterministic)
+        hidden_states = x + self._res_drop(y, deterministic)
         if self._dtype != jnp.float32:
             # float() keeps the bound weakly-typed: jnp.finfo's numpy scalar
             # would promote the whole residual stream to fp32
@@ -560,7 +569,6 @@ class T5JointEncoder(nn.Module):
         self.final_layer_norm = nn.RMSNorm(epsilon=b.layer_norm_epsilon,
                                            dtype=self._dtype,
                                            name="final_layer_norm")
-        self.dropout = nn.Dropout(rate=b.dropout_rate)
         if not c.vis.no_vis:
             ve_cls = (LowRankVisualEmbedding if c.vis.use_lowrank_visual_projector
                       else VisualEmbedding)
@@ -642,7 +650,8 @@ class T5JointEncoder(nn.Module):
         else:
             joint_mask = attention_mask
 
-        h = self.dropout(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
+                                deterministic)
         # length-collapsed (B,1,1,S) padding mask — kept SEPARATE from the
         # (1,H,S,S) relative bias so their per-batch-per-head sum
         # (B,H,S,S — ~200 MB/step at flagship shapes) never materializes;
@@ -661,7 +670,8 @@ class T5JointEncoder(nn.Module):
             h, _ = blk(h, ctx.for_layer(block_w), position_bias=position_bias,
                        deterministic=deterministic, pad_mask=ext_mask)
         h = self.final_layer_norm(h)
-        h = self.dropout(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
+                                deterministic)
         return h, joint_mask
 
 
@@ -685,7 +695,6 @@ class T5Decoder(nn.Module):
         self.final_layer_norm = nn.RMSNorm(epsilon=b.layer_norm_epsilon,
                                            dtype=self._dtype,
                                            name="final_layer_norm")
-        self.dropout = nn.Dropout(rate=b.dropout_rate)
         self.adapter_layers_hyper_net = None
         if p.use_hyperformer:
             hspec = HyperformerSpec(
@@ -712,7 +721,8 @@ class T5Decoder(nn.Module):
         ctx = ctx or PetContext()
         B, T = input_ids.shape
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt)
-        h = self.dropout(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
+                                deterministic)
 
         beam_sel = None
         beam_fused = False
@@ -767,7 +777,8 @@ class T5Decoder(nn.Module):
                                  deterministic=deterministic)
             new_cache.append(layer_cache)
         h = self.final_layer_norm(h)
-        h = self.dropout(h, deterministic=deterministic)
+        h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
+                                deterministic)
         return h, (tuple(new_cache) if cache is not None else None)
 
     def compute_cross_kvs(self, encoder_hidden_states, ctx: PetContext):
