@@ -128,6 +128,11 @@ def main():
     try:
         beam_ex = round(bench_beam(cfg), 2)
     except Exception:
+        # keep the headline metrics flowing, but a null here must be
+        # diagnosable — print the real failure to stderr
+        import traceback
+
+        traceback.print_exc()
         beam_ex = None
 
     print(json.dumps({

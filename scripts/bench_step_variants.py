@@ -47,6 +47,13 @@ VARIANTS = {
     # dropout_rate>0 XLA fallback — PERF.md "r3 T5 profile" A/B)
     "t5_base": {"_t5": True},
     "t5_xla_attn": {"_t5": True, "use_pallas_attention": False},
+    # full fine-tuning baseline: relative_attention_bias is trainable, so
+    # the kernel's bias_grad path emits the true dbias (vs the pre-r3
+    # XLA fallback this config was forced onto)
+    "t5_full_ft": {"_t5": True, "_pet": {"unfreeze_language_model": True}},
+    "t5_full_ft_xla_attn": {"_t5": True,
+                            "_pet": {"unfreeze_language_model": True},
+                            "use_pallas_attention": False},
 }
 
 
@@ -60,14 +67,21 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     from vlpet_tpu.train.steps import TrainState, make_train_step
 
     overrides = dict(overrides)
+    pet_over = overrides.pop("_pet", None)
     if overrides.pop("_t5", False):
         cfg, tasks = _flagship_t5_cfg()
         B = 300  # published T5 recipe batch
         cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
+        if pet_over:
+            cfg = dataclasses.replace(
+                cfg, pet=dataclasses.replace(cfg.pet, **pet_over))
         model = VLT5(cfg)
     else:
         cfg, tasks = _flagship_cfg()
         cfg = dataclasses.replace(cfg, dtype="bfloat16", **overrides)
+        if pet_over:
+            cfg = dataclasses.replace(
+                cfg, pet=dataclasses.replace(cfg.pet, **pet_over))
         model = VLBart(cfg)
     batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
     params = jax.jit(lambda: model.init(

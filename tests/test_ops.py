@@ -766,3 +766,50 @@ def test_hash_dropout_jnp_level():
     kept = ~zeros
     np.testing.assert_allclose(out[kept], np.asarray(x)[kept] / (1 - rate),
                                rtol=1e-6)
+
+
+def test_fused_attention_bias_cotangent():
+    """bias_grad=True: the backward kernel's accumulated dbias
+    (Σ_batch softmax-backward, grid-resident fp32 block) matches
+    jax.grad of the plain-jnp reference w.r.t. the (1, H, L, S) bias —
+    with and without in-kernel attention-probs dropout. bias_grad=False
+    keeps the zero cotangent."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    from vlpet_tpu.ops.attention import (fused_attention,
+                                         fused_attention_reference)
+
+    rng = np.random.default_rng(11)
+    B, L, H, Dh = 6, 16, 4, 32
+    mk = lambda *s: jnp.asarray(rng.normal(size=s) * 0.3, jnp.float32)
+    q, k, v = mk(B, L, H * Dh), mk(B, L, H * Dh), mk(B, L, H * Dh)
+    bias = mk(1, H, L, L)
+    mask = jnp.broadcast_to(
+        jnp.where(jnp.arange(L)[None, None, None, :] < 13, 0.0, -1e9),
+        (B, 1, 1, L)).astype(jnp.float32)
+    dense = jnp.broadcast_to(mask, (B, 1, L, L))
+
+    for rate, seed in ((0.0, None), (0.1, jnp.asarray([321], jnp.int32))):
+        def loss_kernel(bias):
+            return (fused_attention(q, k, v, mask, H, False, bias, rate,
+                                    seed, True) ** 2).sum()
+
+        def loss_ref(bias):
+            return (fused_attention_reference(q, k, v, dense, H, bias=bias,
+                                              rate=rate, seed=seed) ** 2).sum()
+
+        with pltpu.force_tpu_interpret_mode():
+            got = jax.grad(loss_kernel)(bias)
+        want = jax.grad(loss_ref)(bias)
+        assert float(jnp.max(jnp.abs(want))) > 0.0
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=2e-4, atol=2e-5)
+
+    # default (bias_grad=False) keeps the zero cotangent
+    def loss_frozen(bias):
+        return (fused_attention(q, k, v, mask, H, False, bias, 0.0,
+                                None) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        gz = jax.grad(loss_frozen)(bias)
+    np.testing.assert_array_equal(np.asarray(gz), np.zeros_like(gz))

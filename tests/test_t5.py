@@ -264,3 +264,56 @@ def test_t5_train_step_pallas_attention_with_dropout():
     np.testing.assert_allclose(np.asarray(out_p["logits"]),
                                np.asarray(out_x["logits"]), rtol=2e-4,
                                atol=2e-4)
+
+
+def test_t5_relative_bias_gradient_through_pallas_path():
+    """When relative_attention_bias is trainable (unfreeze_bias / use_lora
+    'bias' substring rule, or full fine-tuning), the Pallas attention path
+    must produce the SAME relative_attention_bias gradient as the XLA
+    einsum path — the kernel emits the true dbias (bias_grad=True) instead
+    of a silent zero cotangent (advisor r2 #2 / r3 review #1)."""
+    import dataclasses
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    for flags in (dict(unfreeze_bias=True), dict(unfreeze_language_model=True)):
+        pet = PetConfig(**flags)
+        cfg = tiny_t5_cfg(pet=pet, vis=VisConfig(feat_dim=8, n_boxes=4))
+        rng = np.random.default_rng(9)
+        B, L, T = 2, 6, 4
+        batch = dict(
+            input_ids=jnp.asarray(rng.integers(2, 80, (B, L)), jnp.int32),
+            attention_mask=jnp.ones((B, L), jnp.int32),
+            vis_feats=jnp.asarray(rng.normal(size=(B, 4, 8)), jnp.float32),
+            boxes=jnp.asarray(rng.uniform(size=(B, 4, 4)), jnp.float32),
+            labels=jnp.asarray(rng.integers(2, 80, (B, T)), jnp.int32))
+
+        def bias_grads(pallas: bool):
+            m = VLT5(dataclasses.replace(cfg, use_pallas_attention=pallas))
+            params = m.init(jax.random.PRNGKey(0), batch["input_ids"],
+                            batch["attention_mask"],
+                            vis_feats=batch["vis_feats"], boxes=batch["boxes"],
+                            labels=batch["labels"], ctx=PetContext())["params"]
+
+            def loss(p):
+                out = m.apply({"params": p}, batch["input_ids"],
+                              batch["attention_mask"],
+                              vis_feats=batch["vis_feats"],
+                              boxes=batch["boxes"], labels=batch["labels"],
+                              ctx=PetContext(), deterministic=True)
+                return out["loss"].mean()
+
+            g = jax.grad(loss)(params)
+            return {
+                side: np.asarray(
+                    g["model"][side]["blocks_0"]["self_attn"]
+                    ["relative_attention_bias"])
+                for side in ("encoder", "decoder")}
+
+        with pltpu.force_tpu_interpret_mode():
+            got = bias_grads(pallas=True)
+        want = bias_grads(pallas=False)
+        for side in ("encoder", "decoder"):
+            assert float(np.max(np.abs(want[side]))) > 0.0, (flags, side)
+            np.testing.assert_allclose(got[side], want[side], rtol=2e-4,
+                                       atol=1e-6, err_msg=f"{flags} {side}")

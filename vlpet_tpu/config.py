@@ -486,10 +486,17 @@ class VLModelConfig:
     # compute dtype for activations ('float32' | 'bfloat16'); params stay fp32
     dtype: str = "float32"
     # fused short-sequence Pallas attention (see vlpet_tpu/ops). Tri-state:
-    # None = auto (on for TPU backends; the T5 path additionally requires a
-    # frozen relative_attention_bias, i.e. not unfreeze_language_model —
-    # the kernel treats the bias as non-differentiable); True/False force.
+    # None = auto (on for TPU backends); True/False force. A trainable T5
+    # relative_attention_bias (full fine-tuning / use_lora / unfreeze_*bias)
+    # gets its true cotangent via the kernel's bias_grad path.
     use_pallas_attention: Optional[bool] = None
+    # fused beam attend + in-place cache write (ops/decode.py
+    # beam_decode_attend_update). Opt-in escape hatch for re-probing on
+    # newer toolchains: correct (tests/test_ops.py) but measured SLOWER
+    # e2e than the dus+relayout path it targets (502 vs 648 ex/s beam-5) —
+    # the aliased read+write of the cache appears to serialize the
+    # kernel's DMA pipeline. See PERF.md r3 "What was tried".
+    use_fused_beam: bool = False
     # fused linear+cross-entropy (TPU, frozen lm head; ops/fused_ce.py).
     # Off by default: wins forward-only (5.7 vs 9.7 ms at flagship shapes)
     # but the backward's logits recompute loses the fwd+bwd total (PERF.md)

@@ -20,6 +20,7 @@ SPICE needs the Java scene-graph parser and is reported as None.
 
 from __future__ import annotations
 
+import functools
 import math
 import re
 from collections import Counter, defaultdict
@@ -188,6 +189,7 @@ def _stems(tokens: List[str]) -> List[str]:
         return list(tokens)
 
 
+@functools.lru_cache(maxsize=65536)
 def wordnet_synonyms(word: str) -> Optional[frozenset]:
     """Synset-lemma set for the METEOR synonym stage, via nltk WordNet.
 
@@ -195,7 +197,11 @@ def wordnet_synonyms(word: str) -> Optional[frozenset]:
     package alone does not ship it; this environment has no egress to
     `nltk.download`) — callers then skip the synonym stage. When the data
     is present this reproduces Meteor's synonymy module: two words match
-    if they share any synset."""
+    if they share any synset.
+
+    lru_cached: the alignment loop probes the same small caption
+    vocabulary O(|hyp|x|ref|) times per segment — uncached, WordNet synset
+    lookups dominate the whole eval on the 1-core host."""
     try:
         from nltk.corpus import wordnet
 

@@ -1167,15 +1167,10 @@ class BartDecoder(nn.Module):
             if beam_anc is not None:
                 from vlpet_tpu.ops.decode import _BEAM_TB
 
-                import os
-                # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
-                # but measured SLOWER e2e than the dus+relayout path it
-                # targets (502 vs 648 ex/s beam-5) — the aliased
-                # read+write of the cache appears to serialize the
-                # kernel's DMA pipeline. See PERF.md r3 "What was tried".
+                # opt-in re-probe hatch; see the use_fused_beam config note
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
-                              and bool(os.environ.get("VLPET_FUSED_BEAM")))
+                              and c.use_fused_beam)
                 # the raw (B, K, L) ancestry travels to the attention, which
                 # builds its flat kernel mask directly (ops/decode.py
                 # beam_sel_big) — the 4-D additive form's tiny minor dims

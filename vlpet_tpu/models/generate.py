@@ -27,6 +27,26 @@ Array = jax.Array
 NEG_INF = -1.0e7
 
 
+def topk_lse(logits: Array, k: int) -> Tuple[Array, Array, Array]:
+    """(top_vals (B,k) f32, top_toks (B,k) i32, lse (B,) f32) from raw
+    last-token logits — the shared beam/greedy scoring policy for BOTH
+    backbones (VLBart/VLT5.decode_step_topk).
+
+    TPU at vocab scale uses PartialReduce-based approx_max_k on RAW
+    logits: ~2x the sort-based custom call; recall 0.99 is empirically
+    exact for 2K of 50k (scripts/bench_topk.py). A fused
+    projection+lse+exact-topk Pallas kernel was built and measured SLOWER
+    (PERF.md r3 "What was tried")."""
+    logits = logits.astype(jnp.float32)
+    lse = jax.scipy.special.logsumexp(logits, axis=-1)
+    if logits.shape[-1] >= 4096 and jax.default_backend() not in ("cpu",):
+        vals, toks = jax.lax.approx_max_k(
+            logits, k, recall_target=0.99, aggregate_to_topk=True)
+    else:
+        vals, toks = jax.lax.top_k(logits, k)
+    return vals, toks.astype(jnp.int32), lse
+
+
 def init_self_cache(cfg, batch_size: int, max_len: int, dtype=jnp.float32):
     """Preallocated per-layer self-attention KV cache.
 

@@ -33,6 +33,7 @@ from flax import linen as nn
 from vlpet_tpu.ops.hashdrop import module_hash_dropout
 from vlpet_tpu.config import HyperformerSpec, PromptSpec, T5Config, VLModelConfig
 from vlpet_tpu.models.bart import NEG_INF, expand_mask
+from vlpet_tpu.models.generate import topk_lse
 from vlpet_tpu.models.visual import VisualEmbedding, LowRankVisualEmbedding, downsample_vis
 from vlpet_tpu.models.vlbart import cross_entropy_with_ignore
 from vlpet_tpu.pet.hypernet import (
@@ -55,6 +56,7 @@ from vlpet_tpu.pet.modules import (
     normal_init,
 )
 from vlpet_tpu.pet.prompts import PromptController
+from vlpet_tpu.train.freezing import path_is_trainable
 
 Array = jax.Array
 
@@ -233,13 +235,9 @@ class T5Attention(nn.Module):
         B, L = q.shape[:2]
         S = k.shape[1]
         flag = getattr(self.cfg, "use_pallas_attention", None)
-        # tri-state: None = auto — on for TPU, EXCEPT full fine-tuning:
-        # the kernel treats the relative-position bias as non-differentiable
-        # and relative_attention_bias is trainable under
-        # unfreeze_language_model (advisor r2 #2). True/False force.
+        # tri-state: None = auto — on for TPU. True/False force.
         enabled = (flag if flag is not None
-                   else (jax.default_backend() not in ("cpu",)
-                         and not self.cfg.pet.unfreeze_language_model))
+                   else jax.default_backend() not in ("cpu",))
         use_pallas = (enabled
                       and (position_bias is not None or pad_mask is not None)
                       and L > 1)
@@ -263,10 +261,24 @@ class T5Attention(nn.Module):
                                        dtype=jnp.int32)
                     if rate > 0.0 else None)
             bias = None
+            bias_grad = False
             m = pad_mask
             if position_bias is not None and position_bias.shape[1] > 1:
                 bias = jnp.broadcast_to(
                     position_bias, (1,) + position_bias.shape[1:2] + (L, S))
+                # Is the relative bias trainable? Ask the freezing engine
+                # with this module's param path (the 'bias' substring rule
+                # matches relative_attention_bias under use_lora /
+                # unfreeze_*bias, and unfreeze_language_model unfreezes the
+                # whole stack — advisor r2 #2 / r3 review #1). All blocks
+                # share block 0's bias tensor and the rules are
+                # block-index-invariant, so self's own path decides
+                # correctly even when the param lives in block 0. When
+                # trainable, the kernel emits the true dbias instead of a
+                # silent zero cotangent.
+                bias_grad = path_is_trainable(
+                    ".".join(self.path) + ".relative_attention_bias",
+                    self.cfg.pet)
             elif position_bias is not None:
                 m = (position_bias if m is None
                      else m + position_bias)  # both (B|1, 1, 1|L, S)
@@ -275,7 +287,7 @@ class T5Attention(nn.Module):
             out = fused_attention(q.reshape(B, L, -1), k.reshape(B, S, -1),
                                   v.reshape(B, S, -1),
                                   m.astype(jnp.float32), b.num_heads,
-                                  False, bias, rate, seed)
+                                  False, bias, rate, seed, bias_grad)
             return self.o(out), new_cache
         scores = jnp.einsum("bqhd,bkhd->bhqk", q, k,
                             preferred_element_type=jnp.float32)
@@ -739,15 +751,10 @@ class T5Decoder(nn.Module):
                 # the causal constraint; the bias row rides through attention
                 from vlpet_tpu.ops.decode import _BEAM_TB
 
-                import os
-                # OPT-IN (VLPET_FUSED_BEAM=1): correct (tests/test_ops.py)
-                # but measured SLOWER e2e than the dus+relayout path it
-                # targets (502 vs 648 ex/s beam-5) — the aliased
-                # read+write of the cache appears to serialize the
-                # kernel's DMA pipeline. See PERF.md r3 "What was tried".
+                # opt-in re-probe hatch; see the use_fused_beam config note
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
-                              and bool(os.environ.get("VLPET_FUSED_BEAM")))
+                              and self.cfg.use_fused_beam)
                 # raw (B, K, L) ancestry; attention builds the flat kernel
                 # mask directly (ops/decode.py beam_sel_big — see bart.py)
                 beam_sel = beam_anc
@@ -1014,16 +1021,10 @@ class VLT5(nn.Module):
             decoder_input_ids, None, joint_mask, ctx, cross_kvs=cross_kvs,
             cache=cache, decode_pos=decode_pos, beam_anc=beam_anc,
             deterministic=True)
-        b: T5Config = self.cfg.backbone
         x = dec_out[:, -1, :]
-        logits = self._logits(x[:, None])[:, -1].astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        if b.vocab_size >= 4096 and jax.default_backend() not in ("cpu",):
-            vals, toks = jax.lax.approx_max_k(
-                logits, k, recall_target=0.99, aggregate_to_topk=True)
-        else:
-            vals, toks = jax.lax.top_k(logits, k)
-        return vals, toks.astype(jnp.int32), lse, new_cache
+        logits = self._logits(x[:, None])[:, -1]
+        vals, toks, lse = topk_lse(logits, k)
+        return vals, toks, lse, new_cache
 
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                      ctx: PetContext = None, deterministic: bool = True):

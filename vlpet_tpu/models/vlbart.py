@@ -22,6 +22,7 @@ from flax import linen as nn
 
 from vlpet_tpu.config import VLModelConfig
 from vlpet_tpu.models.bart import BartDecoder, JointEncoder, expand_mask
+from vlpet_tpu.models.generate import topk_lse
 from vlpet_tpu.pet.hypernet import TaskEmbeddingController
 from vlpet_tpu.pet.modules import (OutputParallelAdapterLayer, PetContext,
                                    make_shared_phm_W, normal_init)
@@ -285,20 +286,9 @@ class VLBart(nn.Module):
             cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
             beam_anc=beam_anc, deterministic=True)
         x = dec_out[:, -1, :]
-        logits = self._logits(x[:, None])[:, -1].astype(jnp.float32)
-        lse = jax.scipy.special.logsumexp(logits, axis=-1)
-        V = logits.shape[-1]
-        if V >= 4096 and jax.default_backend() not in ("cpu",):
-            # TPU PartialReduce-based top-k on RAW logits: ~2x the
-            # sort-based custom call at vocab scale; recall 0.99 is
-            # empirically exact for 2K of 50k (scripts/bench_topk.py).
-            # A fused projection+lse+exact-topk Pallas kernel was built
-            # and measured SLOWER (PERF.md r3 "What was tried").
-            vals, toks = jax.lax.approx_max_k(
-                logits, k, recall_target=0.99, aggregate_to_topk=True)
-        else:
-            vals, toks = jax.lax.top_k(logits, k)
-        return vals, toks.astype(jnp.int32), lse, new_cache
+        logits = self._logits(x[:, None])[:, -1]
+        vals, toks, lse = topk_lse(logits, k)
+        return vals, toks, lse, new_cache
 
     def decode_train(self, decoder_input_ids, encoder_hidden_states, joint_mask,
                      ctx: PetContext = None, deterministic: bool = True):

@@ -250,20 +250,30 @@ def fused_attention_reference(q, k, v, mask, num_heads, causal=False,
 
 def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
                 causal: bool, compact: bool, has_bias: bool, rate: float,
-                *refs):
+                bias_grad: bool, *refs):
     """Recomputes p in VMEM and emits dq/dk/dv — no HBM round trips for the
     (TB, L, S) intermediates. With ``rate`` > 0 the forward's dropout mask
-    is regenerated from (seed, head, element index) — nothing was saved."""
+    is regenerated from (seed, head, element index) — nothing was saved.
+    With ``bias_grad`` the batch-shared bias's cotangent dbias[h] =
+    Σ_batch ds[b, h] accumulates into a grid-resident (1, H, L, S) fp32
+    output block (constant index_map — TPU grids are sequential)."""
     if rate > 0.0:
         seed_ref, *refs = refs
     else:
         seed_ref = None
     q_ref, k_ref, v_ref, mask_ref, *rest = refs
+    dbias_ref = None
+    if bias_grad:
+        *rest, dbias_ref = rest
     if has_bias:
         bias_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
     else:
         bias_ref = None
         do_ref, dq_ref, dk_ref, dv_ref = rest
+    if bias_grad:
+        @pl.when(pl.program_id(0) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
     shared, allowed = _shared_terms(per_head_mask, causal, compact,
                                     q_ref, k_ref, mask_ref)
     for h in range(num_heads):
@@ -295,6 +305,8 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
         if keep is not None:
             dp = jnp.where(keep, dp * inv, 0.0)
         ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        if bias_grad:
+            dbias_ref[0, h] = dbias_ref[0, h] + jnp.sum(ds, axis=0)
         dq = jax.lax.dot_general(ds, k.astype(jnp.float32),
                                  (((2,), (1,)), ((0,), (0,))),
                                  preferred_element_type=jnp.float32)
@@ -307,7 +319,8 @@ def _bwd_kernel(num_heads: int, head_dim: int, per_head_mask: bool,
 
 
 def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
-                          bias=None, rate=0.0, seed=None, *, interpret=False):
+                          bias=None, rate=0.0, seed=None, bias_grad=False,
+                          *, interpret=False):
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
@@ -336,24 +349,37 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
         args.append(bias)
     in_specs.append(spec_q)
     args.append(do)
+    bias_grad = bias_grad and bias is not None
+    out_specs = (spec_q, spec_kv, spec_kv)
+    out_shape = (jax.ShapeDtypeStruct((B, L, inner), q.dtype),
+                 jax.ShapeDtypeStruct((B, S, inner), k.dtype),
+                 jax.ShapeDtypeStruct((B, S, inner), v.dtype))
+    if bias_grad:
+        # fp32 accumulator (cast to bias.dtype by the caller): the block is
+        # grid-resident via the constant index_map, so partial sums never
+        # round through a low-precision store
+        out_specs = out_specs + (pl.BlockSpec((1, num_heads, L, S),
+                                              lambda b: (0, 0, 0, 0),
+                                              memory_space=ms),)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((1, num_heads, L, S),
+                                                      jnp.float32),)
     return pl.pallas_call(
         functools.partial(_bwd_kernel, num_heads, head_dim, per_head, causal,
-                          compact, bias is not None, rate),
+                          compact, bias is not None, rate, bias_grad),
         grid=(B // tb,),
         in_specs=in_specs,
-        out_specs=(spec_q, spec_kv, spec_kv),
-        out_shape=(jax.ShapeDtypeStruct((B, L, inner), q.dtype),
-                   jax.ShapeDtypeStruct((B, S, inner), k.dtype),
-                   jax.ShapeDtypeStruct((B, S, inner), v.dtype)),
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
     )(*args)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 7, 9))
 def fused_attention(q: Array, k: Array, v: Array, mask: Array,
                     num_heads: int, causal: bool = False,
                     bias: Optional[Array] = None, rate: float = 0.0,
-                    seed: Optional[Array] = None) -> Array:
+                    seed: Optional[Array] = None,
+                    bias_grad: bool = False) -> Array:
     """q (B, L, H·Dh) pre-scaled; k, v (B, S, H·Dh); mask additive
     (B|1, 1|H, 1|L, S) — a length-collapsed (.., 1, S) padding mask
     broadcasts inside the kernel, saving the (TB, L, S) fp32 mask load.
@@ -366,26 +392,36 @@ def fused_attention(q: Array, k: Array, v: Array, mask: Array,
     is a (1,) int32 driving the hash mask — ops/hashdrop.py — regenerated
     in the backward). Returns (B, L, H·Dh).
 
-    NOTE: mask and bias are treated as non-differentiable (zero
-    cotangent). True for every PET recipe (the T5 relative bias is
-    frozen); T5Attention auto-falls-back to the XLA path under
-    unfreeze_language_model (use_pallas_attention=None tri-state)."""
+    NOTE: the mask is treated as non-differentiable (zero cotangent —
+    true always: it only ever carries padding/causal terms). ``bias`` gets
+    a zero cotangent by default (frozen in every PET recipe); pass
+    ``bias_grad=True`` when the relative bias is trainable (T5 under
+    unfreeze_language_model / use_lora / unfreeze_*bias — the freezing
+    engine's 'bias' substring rule matches relative_attention_bias, as the
+    reference's does) and the backward kernel accumulates the true
+    dbias[h] = Σ_batch ds[b, h]."""
     return _pallas_attention(q, k, v, mask, num_heads, causal, bias, rate,
                              seed)
 
 
-def _fwd(q, k, v, mask, num_heads, causal, bias, rate, seed):
+def _fwd(q, k, v, mask, num_heads, causal, bias, rate, seed, bias_grad):
     return (_pallas_attention(q, k, v, mask, num_heads, causal, bias, rate,
                               seed),
             (q, k, v, mask, bias, seed))
 
 
-def _bwd(num_heads, causal, rate, res, do):
+def _bwd(num_heads, causal, rate, bias_grad, res, do):
     q, k, v, mask, bias, seed = res
-    dq, dk, dv = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal,
-                                       bias, rate, seed)
-    return (dq, dk, dv, jnp.zeros_like(mask),
-            None if bias is None else jnp.zeros_like(bias), None)
+    grads = _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal,
+                                  bias, rate, seed,
+                                  bias_grad=bias_grad)
+    if bias_grad and bias is not None:
+        dq, dk, dv, dbias = grads
+        dbias = dbias.astype(bias.dtype)
+    else:
+        dq, dk, dv = grads
+        dbias = None if bias is None else jnp.zeros_like(bias)
+    return dq, dk, dv, jnp.zeros_like(mask), dbias, None
 
 
 fused_attention.defvjp(_fwd, _bwd)

@@ -8,8 +8,10 @@ src/multitask.py:134-138, dist_utils.py). The TPU-native equivalent
   psum over ICI that NCCL all-reduce did),
 * large parameter matrices optionally shard over 'model' (tensor parallelism
   the reference never had but the mesh leaves room for, as SURVEY.md
-  prescribes): embeddings/lm_head shard the vocab axis, FFN kernels shard the
-  hidden axis, attention projections shard heads.
+  prescribes): embeddings/lm_head shard the d_model axis (the vocab axis
+  fails divisibility at BART/T5 vocab sizes and would silently replicate —
+  see _PARAM_RULES), FFN kernels shard the hidden axis, attention
+  projections shard heads.
 
 BART/T5-base fit on one chip, so model=1 is the default; dryrun_multichip
 exercises data×model to validate the sharding compiles and runs.

@@ -218,23 +218,16 @@ class Trainer:
 
         self._gen_cache: Dict = {}
         self._nlvr_step = None
-        # generation-only model variant: the fused Pallas attention wins
-        # forward-only (PERF.md) — enable it for inference on TPU; a
-        # scan_layers train model decodes on a non-scan twin (stacked params
-        # are unstacked inside the jitted gen fn, models/scan_utils.py)
-        if self.raw:
+        # generation-only model variant: a scan_layers train model decodes
+        # on a non-scan twin (stacked params are unstacked inside the
+        # jitted gen fn, models/scan_utils.py); otherwise the train model
+        # generates as-is (the Pallas attention tri-state already auto-
+        # enables on TPU for both backbones)
+        if self.raw or not getattr(cfg, "scan_layers", False):
             self.gen_model = self.model
         else:
-            gen_cfg = cfg
-            if getattr(cfg, "scan_layers", False):
-                gen_cfg = dataclasses.replace(gen_cfg, scan_layers=False)
-            if (not cfg.is_t5 and jax.default_backend() not in ("cpu",)
-                    and getattr(cfg, "use_pallas_attention", None) is None):
-                gen_cfg = dataclasses.replace(gen_cfg, use_pallas_attention=True)
-            if gen_cfg is cfg:
-                self.gen_model = self.model
-            else:
-                self.gen_model = VLT5(gen_cfg) if cfg.is_t5 else VLBart(gen_cfg)
+            gen_cfg = dataclasses.replace(cfg, scan_layers=False)
+            self.gen_model = VLT5(gen_cfg) if cfg.is_t5 else VLBart(gen_cfg)
 
     # ------------------------------------------------------------------
     @property
