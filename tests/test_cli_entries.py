@@ -123,3 +123,86 @@ def test_backbone_ckpt_safetensors_end_to_end(tmp_path):
         trainer.merged_params["model"]["encoder"]["layers_0"]["fc1"]["kernel"])
     np.testing.assert_allclose(got_fc1, sd["model.encoder.layers.0.fc1.weight"].T,
                                rtol=1e-6)
+
+
+def test_multitask_t5_vocab_matches_tokenizer(tmp_path, monkeypatch):
+    """The T5 CLI path must size the embedding from the tokenizer
+    (effective_vocab_size), not the backbone default: t5-base's default
+    32100 vs the fallback tokenizer's 50265 clamped out-of-range ids in
+    the embedding gather and produced nan train losses (r3 bug). Keeps
+    the CLI-built vocab; only shrinks width/depth."""
+    import dataclasses
+
+    import vlpet_tpu.cli.param as P
+    import vlpet_tpu.cli.multitask as M
+    from vlpet_tpu.config import T5Config
+
+    orig = P.build_model_config  # the autouse tiny-BART patch — reuse its
+    seen = {}                    # cfg shell, swap in a tiny T5 backbone
+
+    def patched(args, tasks, vocab_size=None):
+        cfg = orig(args, tasks, vocab_size)
+        seen["vocab"] = vocab_size
+        return dataclasses.replace(
+            cfg, backbone=T5Config(vocab_size=vocab_size, d_model=32,
+                                   d_kv=8, d_ff=64, num_layers=1,
+                                   num_decoder_layers=1, num_heads=4,
+                                   dropout_rate=0.0))
+
+    monkeypatch.setattr(P, "build_model_config", patched)
+    monkeypatch.setattr(M, "build_model_config", patched)
+    trainer, history = M.main(
+        ["--backbone", "t5-base", "--batch_size", "4", "--feat_dim", "8",
+         "--n_boxes", "4", "--synthetic_examples", "8", "--epochs", "1",
+         "--lr", "1e-3", "--gen_max_length", "4", "--max_text_length", "8",
+         "--tasks", "vqa", "--output", str(tmp_path / "run")])
+    assert seen["vocab"] == 50265  # the fallback tokenizer's vocab
+    assert np.isfinite(history[0]["train_loss"])
+
+
+def test_hf_import_grows_vocab_rows(tmp_path):
+    """Importing a checkpoint whose vocab is SMALLER than the model's
+    (tokenizer added specials — the reference resizes embeddings,
+    multitask.py:59-67): checkpoint rows fill the leading slice, added
+    rows keep their init; a non-vocab shape mismatch still raises."""
+    import jax
+    import jax.numpy as jnp
+
+    from vlpet_tpu.config import BartConfig, PetConfig, VisConfig, VLModelConfig
+    from vlpet_tpu.models.hf_import import bart_hf_to_flax
+    from vlpet_tpu.models.vlbart import VLBart
+    from vlpet_tpu.pet.modules import PetContext
+
+    V_model, V_ckpt, D = 120, 100, 16
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=V_model, d_model=D, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=32,
+                            decoder_ffn_dim=32, max_position_embeddings=32,
+                            dropout=0.0),
+        vis=VisConfig(no_vis=True), pet=PetConfig())
+    m = VLBart(cfg)
+    B, L = 2, 6
+    params = m.init(jax.random.PRNGKey(0), jnp.ones((B, L), jnp.int32),
+                    jnp.ones((B, L), jnp.int32),
+                    labels=jnp.ones((B, 4), jnp.int32),
+                    ctx=PetContext())["params"]
+    init_shared = np.asarray(params["model"]["shared"])
+
+    rng = np.random.default_rng(0)
+    sd = {"model.shared.weight":
+          rng.normal(size=(V_ckpt, D)).astype(np.float32),
+          "final_logits_bias": np.zeros((1, V_ckpt), np.float32)}
+    out, report = bart_hf_to_flax(sd, params)
+    got = np.asarray(out["model"]["shared"])
+    np.testing.assert_allclose(got[:V_ckpt], sd["model.shared.weight"],
+                               rtol=1e-6)
+    # the added rows keep the model's init
+    np.testing.assert_allclose(got[V_ckpt:], init_shared[V_ckpt:], rtol=1e-6)
+    assert np.asarray(out["final_logits_bias"]).shape == (1, V_model)
+
+    # a genuinely wrong shape still raises (not silently grown)
+    bad = {"model.shared.weight":
+           rng.normal(size=(V_ckpt, D + 1)).astype(np.float32)}
+    with pytest.raises(ValueError):
+        bart_hf_to_flax(bad, params)

@@ -35,7 +35,7 @@ from vlpet_tpu.data.features import (
     PerImageH5Source,
 )
 from vlpet_tpu.data.multitask import MultitaskLoader
-from vlpet_tpu.data.tokenization import get_tokenizer
+from vlpet_tpu.data.tokenization import effective_vocab_size, get_tokenizer
 from vlpet_tpu.evalsuite import (
     COCOCaptionEvaluator,
     GQAEvaluator,
@@ -166,8 +166,9 @@ def build_loaders(args, tasks: Tuple[str, ...], tokenizer, split: str,
 def main(argv=None):
     args = parse_args(argv)
     tasks = tuple(t for t in args.tasks.split(",") if t) or ("vqa",)
-    tokenizer, _ = get_tokenizer(args.backbone, args.tokenizer_path)
-    cfg = build_model_config(args, tasks)
+    tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)
+    cfg = build_model_config(args, tasks,
+                             vocab_size=effective_vocab_size(tokenizer, added))
     if args.classifier:
         import dataclasses
 

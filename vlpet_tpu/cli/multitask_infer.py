@@ -14,7 +14,7 @@ import numpy as np
 
 from vlpet_tpu.cli.multitask import build_loaders
 from vlpet_tpu.cli.param import build_model_config, parse_args
-from vlpet_tpu.data.tokenization import get_tokenizer
+from vlpet_tpu.data.tokenization import effective_vocab_size, get_tokenizer
 
 
 def dump_gates(trainer, loader, store_path: str):
@@ -49,8 +49,9 @@ def main(argv=None):
     args = parse_args(argv)
     args.test_only = True
     tasks = tuple(t for t in args.tasks.split(",") if t) or ("vqa",)
-    tokenizer, _ = get_tokenizer(args.backbone, args.tokenizer_path)
-    cfg = build_model_config(args, tasks)
+    tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)
+    cfg = build_model_config(args, tasks,
+                             vocab_size=effective_vocab_size(tokenizer, added))
     val_loaders = build_loaders(args, tasks, tokenizer, args.valid, "val")
 
     from vlpet_tpu.train.trainer import Trainer

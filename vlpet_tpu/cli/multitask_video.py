@@ -11,7 +11,7 @@ from __future__ import annotations
 
 from vlpet_tpu.cli.param import build_model_config, parse_args
 from vlpet_tpu.data.multitask import MultitaskLoader
-from vlpet_tpu.data.tokenization import get_tokenizer
+from vlpet_tpu.data.tokenization import effective_vocab_size, get_tokenizer
 from vlpet_tpu.data.video import build_video_loader
 
 VIDEO_TASKS = ("tvqa", "how2qa", "tvc", "yc2c")
@@ -21,8 +21,9 @@ def main(argv=None):
     args = parse_args(argv)
     args.feat_dim = 512  # CLIP-ViT frame features (reference: :738)
     tasks = tuple(t for t in args.tasks.split(",") if t) or VIDEO_TASKS
-    tokenizer, _ = get_tokenizer(args.backbone, args.tokenizer_path)
-    cfg = build_model_config(args, tasks)
+    tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)
+    cfg = build_model_config(args, tasks,
+                             vocab_size=effective_vocab_size(tokenizer, added))
 
     train_loaders = [build_video_loader(t, args, tokenizer, args.train,
                                         "train", args.data_root)

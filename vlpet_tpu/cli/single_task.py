@@ -11,7 +11,7 @@ import sys
 from vlpet_tpu.cli.multitask import build_loaders
 from vlpet_tpu.cli.param import build_model_config, parse_args
 from vlpet_tpu.data.multitask import MultitaskLoader
-from vlpet_tpu.data.tokenization import get_tokenizer
+from vlpet_tpu.data.tokenization import effective_vocab_size, get_tokenizer
 from vlpet_tpu.data.video import VIDEO_CAP_TASKS, VIDEO_QA_TASKS, build_video_loader
 
 IMAGE_TASKS = ("vqa", "gqa", "nlvr", "caption")
@@ -23,8 +23,9 @@ def main(task: str, argv=None):
     tasks = (task,)
     if task in VIDEO_QA_TASKS or task in VIDEO_CAP_TASKS:
         args.feat_dim = 512
-    tokenizer, _ = get_tokenizer(args.backbone, args.tokenizer_path)
-    cfg = build_model_config(args, tasks)
+    tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)
+    cfg = build_model_config(args, tasks,
+                             vocab_size=effective_vocab_size(tokenizer, added))
 
     if task in IMAGE_TASKS:
         train_loaders = build_loaders(args, tasks, tokenizer, args.train, "train")

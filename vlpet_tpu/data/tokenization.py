@@ -242,3 +242,18 @@ def get_tokenizer(backbone: str, local_path: Optional[str] = None,
                 [f"<vis_extra_id_{i}>" for i in range(99, -1, -1)]
         added = tok.add_special_tokens({"additional_special_tokens": extra})
     return tok, added
+
+
+def effective_vocab_size(tok, added: int = 0) -> int:
+    """Embedding rows the model needs for this tokenizer — the reference's
+    resize_token_embeddings after add_special_tokens (multitask.py:59-67).
+    ``len(tok)`` includes added specials for both HF tokenizers and
+    VLT5Tokenizer; tokenizers without __len__ report vocab_size + added.
+    The CLI entries MUST pass this to build_model_config: a backbone-default
+    vocab smaller than the tokenizer's silently clamps out-of-range ids in
+    the embedding gather and corrupts the CE loss (t5-base default 32100 vs
+    the fallback tokenizer's 50265 produced nan train losses)."""
+    try:
+        return len(tok)
+    except TypeError:
+        return int(tok.vocab_size) + int(added)

@@ -12,7 +12,7 @@ strict=False load.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Tuple
+from typing import Any, Dict, List, Optional, Tuple
 
 import jax
 import numpy as np
@@ -25,12 +25,29 @@ def _to_np(t) -> np.ndarray:
 
 
 def _set(flat: Dict[Tuple[str, ...], Any], path: Tuple[str, ...], value: np.ndarray,
-         filled: List[str], hf_key: str):
+         filled: List[str], hf_key: str, grow_axis: Optional[int] = None):
+    """Copy a checkpoint tensor onto a model leaf. ``grow_axis`` marks
+    vocab-carrying tensors (shared embedding / lm_head / final_logits_bias):
+    when the model's vocab is LARGER along that axis (tokenizer added
+    <vis_extra_id_*>/<extra_id_*> specials — the reference calls
+    resize_token_embeddings, multitask.py:59-67), the checkpoint rows fill
+    the leading slice and the added rows keep the model's init."""
     if path in flat:
         cur = flat[path]
         if tuple(cur.shape) != tuple(value.shape):
-            raise ValueError(f"shape mismatch for {hf_key} -> {'/'.join(path)}: "
-                             f"{value.shape} vs {cur.shape}")
+            cs, vs = tuple(cur.shape), tuple(value.shape)
+            ok = (grow_axis is not None and len(cs) == len(vs)
+                  and cs[grow_axis] > vs[grow_axis]
+                  and all(c == v for i, (c, v) in enumerate(zip(cs, vs))
+                          if i != grow_axis))
+            if not ok:
+                raise ValueError(
+                    f"shape mismatch for {hf_key} -> {'/'.join(path)}: "
+                    f"{value.shape} vs {cur.shape}")
+            grown = np.array(np.asarray(cur))
+            sl = tuple(slice(0, v) for v in vs)
+            grown[sl] = value
+            value = grown
         flat[path] = value.astype(np.asarray(cur).dtype
                                   if hasattr(cur, "dtype") else np.float32)
         filled.append("/".join(path))
@@ -88,12 +105,12 @@ def bart_hf_to_flax(state_dict: Dict[str, Any], params, strict: bool = False):
         k = re.sub(r"^model\.", "", k)
         if k in ("shared.weight", "encoder.embed_tokens.weight",
                  "decoder.embed_tokens.weight"):
-            _set(flat, ("model", "shared"), v, filled, key)
+            _set(flat, ("model", "shared"), v, filled, key, grow_axis=0)
             continue
         if k == "lm_head.weight":
             continue  # tied
         if k == "final_logits_bias":
-            _set(flat, ("final_logits_bias",), v, filled, key)
+            _set(flat, ("final_logits_bias",), v, filled, key, grow_axis=1)
             continue
         m = re.match(r"(encoder|decoder)\.(.*)", k)
         if not m:
@@ -153,18 +170,19 @@ def t5_hf_to_flax(state_dict: Dict[str, Any], params, strict: bool = False):
     filled: List[str] = []
     skipped: List[str] = []
 
-    def put(path, v, key, transpose=False):
-        _set(flat, path, v.T if transpose else v, filled, key)
+    def put(path, v, key, transpose=False, grow_axis=None):
+        _set(flat, path, v.T if transpose else v, filled, key,
+             grow_axis=grow_axis)
 
     for key, val in state_dict.items():
         v = _to_np(val)
         k = re.sub(r"^(model|transformer)\.", "", key)
         if k in ("shared.weight", "encoder.embed_tokens.weight",
                  "decoder.embed_tokens.weight"):
-            put(("model", "shared"), v, key)
+            put(("model", "shared"), v, key, grow_axis=0)
             continue
         if k == "lm_head.weight":
-            put(("lm_head", "kernel"), v, key, transpose=True)
+            put(("lm_head", "kernel"), v, key, transpose=True, grow_axis=1)
             continue
         m = re.match(r"(encoder|decoder)\.(.*)", k)
         if not m:
