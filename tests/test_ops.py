@@ -813,3 +813,55 @@ def test_fused_attention_bias_cotangent():
     with pltpu.force_tpu_interpret_mode():
         gz = jax.grad(loss_frozen)(bias)
     np.testing.assert_array_equal(np.asarray(gz), np.zeros_like(gz))
+
+
+def test_fused_attention_vmem_feasibility_gate():
+    """fused_attention_fits: flagship shapes (<=104 joint tokens) pass
+    with headroom; video-QA shapes (S~604, where the (1,H,L,S) bias block
+    alone is ~17.5 MB) are rejected so the models fall back to the XLA
+    path instead of failing Mosaic compilation (r3 video CLI bug)."""
+    from vlpet_tpu.ops.attention import fused_attention_fits
+
+    # published flagship shapes (bf16 activations)
+    assert fused_attention_fits(500, 56, 56, 768, 12, False, 0.0, 2)
+    assert fused_attention_fits(300, 56, 56, 768, 12, True, 0.1, 2)
+    assert fused_attention_fits(300, 10, 10, 768, 12, True, 0.1, 2)
+    # video QA joint sequences — infeasible in any dtype/batch
+    assert not fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 4)
+    assert not fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 2)
+    assert not fused_attention_fits(80, 604, 604, 768, 12, False, 0.0, 2)
+
+
+def test_fused_ln_vmem_row_fitting():
+    """_fit_rows sizes the batch-row block to the scoped-vmem stack via
+    the hardware-fitted affine model: the flagship keeps its multi-row
+    blocks; video-QA sequences (L~604: 38.93M at tb=4, 20.28M even at
+    tb=1 vs the 16M limit — r3 video CLI bug) report infeasible so the
+    models fall back to the jnp chain. Kernel output is tb-invariant
+    (the hash mask keys on the global element index)."""
+    from vlpet_tpu.ops.fused_ln import _fit_rows, fused_ln_fits
+    import vlpet_tpu.ops.fused_ln as FL
+
+    assert _fit_rows(500, 56, 768) == 10
+    assert _fit_rows(300, 56, 768) >= 10
+    assert not fused_ln_fits(4, 604, 768)
+    assert not fused_ln_fits(80, 604, 768)
+
+    # same output at the fitted tb=1 as at a multi-row tb (flat-index mask)
+    rng = np.random.default_rng(4)
+    B, L, D = 4, 12, 32
+    h = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    res = jnp.asarray(rng.normal(size=(B, L, D)), jnp.float32)
+    g = jnp.ones((D,), jnp.float32)
+    b = jnp.zeros((D,), jnp.float32)
+    seed = jnp.asarray([77], jnp.int32)
+    orig = FL._fit_rows
+    try:
+        FL._INTERPRET = True
+        y4 = FL.fused_dropout_add_ln(h, res, g, b, seed, 0.1, 1e-5)
+        FL._fit_rows = lambda *a: 1
+        y1 = FL.fused_dropout_add_ln(h, res, g, b, seed, 0.1, 1e-5)
+    finally:
+        FL._fit_rows = orig
+        FL._INTERPRET = False
+    np.testing.assert_allclose(np.asarray(y4), np.asarray(y1), rtol=1e-6)

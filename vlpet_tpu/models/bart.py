@@ -117,10 +117,13 @@ class ResidualDropoutLayerNorm(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (D,))
         bias = self.param("bias", nn.initializers.zeros, (D,))
         dropping = self.rate > 0.0 and not deterministic
-        if (dropping and h.ndim == 3
-                and jax.default_backend() not in ("cpu",)):
-            from vlpet_tpu.ops.fused_ln import fused_dropout_add_ln
+        from vlpet_tpu.ops.fused_ln import fused_dropout_add_ln, fused_ln_fits
 
+        if (dropping and h.ndim == 3
+                and jax.default_backend() not in ("cpu",)
+                # long sequences (video QA: L≈604) blow the kernel's
+                # scoped-vmem stack — fall back to the jnp chain
+                and fused_ln_fits(h.shape[0], h.shape[1], D)):
             seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                       jnp.iinfo(jnp.int32).max,
                                       dtype=jnp.int32)
@@ -325,17 +328,22 @@ class BartAttention(nn.Module):
         flag = getattr(self.cfg, "use_pallas_attention", None)
         enabled = (jax.default_backend() not in ("cpu",) if flag is None
                    else flag)  # tri-state: None = auto-on for TPU
-        use_pallas = (enabled
-                      and (mask is not None or causal) and L > 1)
-        if use_pallas:
-            from vlpet_tpu.ops.attention import fused_attention
+        from vlpet_tpu.ops.attention import fused_attention, fused_attention_fits
 
-            # attention-probs dropout fuses in-kernel (hash mask). BART
-            # recipes keep attention_dropout at 0.0 (HF default), so this
-            # is a no-op for the published configs — it exists so nonzero
-            # attention_dropout doesn't silently fall back to XLA attention
-            # the way T5's dropout_rate did (PERF.md r3 T5 profile).
-            rate = 0.0 if deterministic else float(self.dropout)
+        # attention-probs dropout fuses in-kernel (hash mask). BART
+        # recipes keep attention_dropout at 0.0 (HF default), so this
+        # is a no-op for the published configs — it exists so nonzero
+        # attention_dropout doesn't silently fall back to XLA attention
+        # the way T5's dropout_rate did (PERF.md r3 T5 profile).
+        rate = 0.0 if deterministic else float(self.dropout)
+        use_pallas = (enabled
+                      and (mask is not None or causal) and L > 1
+                      # long sequences (video QA: S≈604) blow the kernels'
+                      # 16 MB scoped-vmem stack — fall back to XLA
+                      and fused_attention_fits(
+                          B, L, S, q.shape[2] * q.shape[3], self.num_heads,
+                          False, rate, jnp.dtype(q.dtype).itemsize))
+        if use_pallas:
             seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                        jnp.iinfo(jnp.int32).max,
                                        dtype=jnp.int32)

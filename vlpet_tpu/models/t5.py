@@ -238,9 +238,19 @@ class T5Attention(nn.Module):
         # tri-state: None = auto — on for TPU. True/False force.
         enabled = (flag if flag is not None
                    else jax.default_backend() not in ("cpu",))
+        from vlpet_tpu.ops.attention import fused_attention_fits
+
+        rate = 0.0 if deterministic else float(b.dropout_rate)
         use_pallas = (enabled
                       and (position_bias is not None or pad_mask is not None)
-                      and L > 1)
+                      and L > 1
+                      # long sequences (video QA: S≈604) blow the kernels'
+                      # 16 MB scoped-vmem stack — fall back to XLA
+                      and fused_attention_fits(
+                          B, L, S, b.num_heads * b.d_kv, b.num_heads,
+                          position_bias is not None
+                          and position_bias.shape[1] > 1,
+                          rate, jnp.dtype(self._dtype).itemsize))
         if use_pallas:
             # fused VMEM attention in projection-native layout (see
             # models/bart.py _attend). A batch-shared per-head bias
@@ -255,7 +265,6 @@ class T5Attention(nn.Module):
             # shapes; PERF.md r3 T5 profile).
             from vlpet_tpu.ops.attention import fused_attention
 
-            rate = 0.0 if deterministic else float(b.dropout_rate)
             seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                        jnp.iinfo(jnp.int32).max,
                                        dtype=jnp.int32)

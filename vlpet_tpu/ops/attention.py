@@ -62,6 +62,36 @@ def _block_rows(B: int, cap: int = 16) -> int:
     return 1
 
 
+# Mosaic's scoped-vmem stack limit; kernels allocating past it fail to
+# compile ("Ran out of memory in memory space vmem ... limit 16.00M").
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
+                         has_bias: bool, rate: float,
+                         io_bytes: int = 4) -> bool:
+    """Conservative scoped-VMEM feasibility check for the fwd AND bwd
+    kernels, so long-sequence callers (video QA runs at S≈604, where the
+    (1, H, L, S) bias block ALONE is ~17.5 MB) fall back to the XLA einsum
+    path instead of failing to compile. Deliberately over-counts the
+    per-head working set (~2 extra (TB, L, S) f32 copies) — a borderline
+    shape quietly taking the XLA path costs perf, not correctness; the
+    flagship shapes (≤104 joint tokens) pass with >2x headroom."""
+    def program_bytes(tb: int, n_io: int, n_work: int) -> int:
+        io = n_io * tb * max(L, S) * inner * io_bytes
+        mask = tb * 8 * S * 4
+        bias = num_heads * L * S * 4 if has_bias else 0
+        work = n_work * tb * L * S * 4
+        if rate > 0.0:
+            work += 2 * tb * L * S * 4  # u32 hash indices + keep mask
+        return io + mask + bias + work
+    # fwd: q/k/v/out blocks + ~2 score-space copies (logits, probs);
+    # bwd: q/k/v/do/dq/dk/dv/(spare) + ~4 copies (p, dp, ds, dropped-p)
+    fwd = program_bytes(_block_rows(B), 4, 3)
+    bwd = program_bytes(_block_rows(B, cap=8 if rate > 0.0 else 16), 8, 5)
+    return max(fwd, bwd) < int(_VMEM_LIMIT * 0.9)
+
+
 def _heads(q_ref, h, head_dim):
     sl = slice(h * head_dim, (h + 1) * head_dim)
     return q_ref[:, :, sl]

@@ -46,6 +46,29 @@ def _block_rows(B: int, cap: int = 16) -> int:
     return 1
 
 
+# Mosaic's scoped-vmem stack limit (see ops/attention.py)
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def _fit_rows(B: int, L: int, D: int) -> int:
+    """Largest batch-row block whose backward working set fits the
+    scoped-vmem stack, from an affine model fitted to two hardware
+    measurements at (tb, 604, 768) f32 (the video-QA CLI shapes, r3 bug):
+    38.93M at tb=4 and 20.28M at tb=1 → usage ≈ (7.6 + 3.4·tb)·L·D·4
+    (the constant is Mosaic's block double-buffering + reduction stack).
+    Flagship (B=500, L=56) keeps tb=10 with ~2x headroom; L≈604 solves to
+    tb<1 → 0, and callers fall back to the jnp chain."""
+    budget = int(_VMEM_LIMIT * 0.9) / (L * D * 4)
+    tb_max = int((budget - 7.6) / 3.4)
+    return _block_rows(B, cap=min(16, tb_max)) if tb_max >= 1 else 0
+
+
+def fused_ln_fits(B: int, L: int, D: int) -> bool:
+    """False when no batch-row block fits (long sequences) — callers then
+    fall back to the jnp chain."""
+    return _fit_rows(B, L, D) >= 1
+
+
 from vlpet_tpu.ops.hashdrop import keep_mask as _hash_keep_nd
 
 
@@ -120,7 +143,7 @@ def _specs(B, L, D, tb, ms):
 
 def _fwd_call(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
     B, L, D = h.shape
-    tb = _block_rows(B)
+    tb = _fit_rows(B, L, D)
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
     return pl.pallas_call(
@@ -135,7 +158,7 @@ def _fwd_call(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
 
 def _bwd_call(h, res, gamma, seed, dy, rate, eps, *, interpret=False):
     B, L, D = h.shape
-    tb = _block_rows(B)
+    tb = _fit_rows(B, L, D)
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
     dh, dres, dg, db = pl.pallas_call(
@@ -183,3 +206,4 @@ def ln_supported(cfg) -> bool:
     """Kernel applicability: TPU backend + bf16 compute path (the kernel is
     a training-path optimization; CPU keeps the flax-equivalent chain)."""
     return jax.default_backend() not in ("cpu",)
+
