@@ -54,6 +54,15 @@ VARIANTS = {
     "t5_full_ft_xla_attn": {"_t5": True,
                             "_pet": {"unfreeze_language_model": True},
                             "use_pallas_attention": False},
+    # video-QA shapes (S = 64 CLIP-ViT frames + 540 text = 604 joint
+    # tokens, batch 50 — scripts/video-text/VL-PET-large.sh): the
+    # one-head-per-program attention kernels vs the XLA einsum fallback
+    # these shapes rode before r3 (PERF.md "Long-sequence shapes")
+    "video_base": {"_video": True},
+    "video_xla_attn": {"_video": True, "use_pallas_attention": False},
+    "t5_video_base": {"_video": True, "_t5": True},
+    "t5_video_xla_attn": {"_video": True, "_t5": True,
+                          "use_pallas_attention": False},
 }
 
 
@@ -68,6 +77,7 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
 
     overrides = dict(overrides)
     pet_over = overrides.pop("_pet", None)
+    video = overrides.pop("_video", False)
     if overrides.pop("_t5", False):
         cfg, tasks = _flagship_t5_cfg()
         B = 300  # published T5 recipe batch
@@ -83,7 +93,15 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             cfg = dataclasses.replace(
                 cfg, pet=dataclasses.replace(cfg.pet, **pet_over))
         model = VLBart(cfg)
-    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    L_txt, L_tgt = 20, 10
+    if video:
+        # video-QA joint shapes: 64 CLIP-ViT frames (feat_dim 512) + 540
+        # text tokens = S 604, batch 50 (scripts/video-text recipes)
+        B, L_txt = 50, 540
+        cfg = dataclasses.replace(
+            cfg, vis=dataclasses.replace(cfg.vis, feat_dim=512, n_boxes=64))
+        model = (VLT5 if cfg.is_t5 else VLBart)(cfg)
+    batch = _batch(cfg, B=B, L_txt=L_txt, L_tgt=L_tgt)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
         vis_feats=batch["vis_feats"], boxes=batch["boxes"],

@@ -816,20 +816,158 @@ def test_fused_attention_bias_cotangent():
 
 
 def test_fused_attention_vmem_feasibility_gate():
-    """fused_attention_fits: flagship shapes (<=104 joint tokens) pass
-    with headroom; video-QA shapes (S~604, where the (1,H,L,S) bias block
-    alone is ~17.5 MB) are rejected so the models fall back to the XLA
-    path instead of failing Mosaic compilation (r3 video CLI bug)."""
-    from vlpet_tpu.ops.attention import fused_attention_fits
+    """Mode selection vs the scoped-vmem stack: flagship shapes take the
+    all-heads kernels with headroom; video-QA shapes (S~604, where the
+    all-heads kernels' working set blows the 16 MB limit — r3 video CLI
+    bug) route to the one-head-per-program kernels; shapes beyond both
+    (S~1200) report infeasible so the models fall back to XLA."""
+    from vlpet_tpu.ops.attention import (_select_attention_mode,
+                                         fused_attention_fits)
 
-    # published flagship shapes (bf16 activations)
-    assert fused_attention_fits(500, 56, 56, 768, 12, False, 0.0, 2)
-    assert fused_attention_fits(300, 56, 56, 768, 12, True, 0.1, 2)
-    assert fused_attention_fits(300, 10, 10, 768, 12, True, 0.1, 2)
-    # video QA joint sequences — infeasible in any dtype/batch
-    assert not fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 4)
-    assert not fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 2)
-    assert not fused_attention_fits(80, 604, 604, 768, 12, False, 0.0, 2)
+    # published flagship shapes (bf16 activations) — all-heads kernels
+    assert _select_attention_mode(500, 56, 56, 768, 12, False, 0.0, 2) == "full"
+    assert _select_attention_mode(300, 56, 56, 768, 12, True, 0.1, 2) == "full"
+    assert _select_attention_mode(300, 10, 10, 768, 12, True, 0.1, 2) == "full"
+    # video QA joint sequences — per-head kernels (bf16)
+    assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0, 2) == "perhead"
+    assert _select_attention_mode(4, 604, 604, 768, 12, True, 0.1, 2) == "perhead"
+    # every hardware-verified S=604 variant passes, up to the full-FT
+    # worst case (fp32, bias+dropout+trainable-bias accumulator) —
+    # scripts/probe_perhead_attention.py
+    assert fused_attention_fits(4, 604, 604, 768, 12, True, 0.0, 4,
+                                need_bwd=False)
+    assert fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 4)
+    assert fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 2,
+                                bias_grad=True)
+    # past the verified envelope the gate stays conservative
+    assert not fused_attention_fits(4, 700, 700, 768, 12, True, 0.1, 2)
+    # far beyond every kernel's ceiling
+    assert not fused_attention_fits(4, 1200, 1200, 768, 12, True, 0.1, 2)
+    assert not fused_attention_fits(4, 1200, 1200, 768, 12, False, 0.0, 2,
+                                    need_bwd=False)
+
+
+def test_perhead_attention_matches_reference():
+    """One-head-per-program kernels (the long-sequence path): forward and
+    backward parity vs the jnp reference across the mask/bias/causal/
+    dropout variants, at shapes small enough for interpret mode."""
+    from vlpet_tpu.ops.attention import (_pallas_attention_perhead,
+                                         _pallas_attention_perhead_bwd,
+                                         fused_attention_reference)
+
+    B, L, S, H, hd = 3, 20, 28, 4, 64
+    inner = H * hd
+    ks = jax.random.split(jax.random.PRNGKey(7), 6)
+    q = jax.random.normal(ks[0], (B, L, inner), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, inner), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, inner), jnp.float32)
+    do = jax.random.normal(ks[3], (B, L, inner), jnp.float32)
+    pad = jnp.where(jnp.arange(S)[None] < jnp.array([[28], [20], [9]]),
+                    0.0, -1e9).astype(jnp.float32)
+    compact = pad.reshape(B, 1, 1, S)          # length-collapsed form
+    dense = jnp.broadcast_to(compact, (B, 1, L, S))
+    bias = jax.random.normal(ks[4], (1, H, L, S), jnp.float32)
+
+    # compact mask + per-head bias, fwd
+    got = _pallas_attention_perhead(q, k, v, compact, H, False, bias,
+                                    interpret=True)
+    want = fused_attention_reference(q, k, v, dense, H, False, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # bwd incl. the trainable-bias cotangent
+    dq, dk, dv, dbias = _pallas_attention_perhead_bwd(
+        q, k, v, compact, do, H, False, bias, bias_grad=True,
+        interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_, b_: fused_attention_reference(
+        q_, k_, v_, dense, H, False, b_), q, k, v, bias)
+    wq, wk, wv, wb = vjp(do)
+    for g, w in [(dq, wq), (dk, wk), (dv, wv), (dbias, wb)]:
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+    # causal self-attention (L == S) on a compact mask
+    qs = jax.random.normal(ks[5], (B, S, inner), jnp.float32)
+    got_c = _pallas_attention_perhead(qs, k, v, compact, H, True,
+                                      interpret=True)
+    tri = jnp.where(jnp.tril(jnp.ones((S, S), bool)), 0.0,
+                    -1e9)[None, None].astype(jnp.float32)
+    want_c = fused_attention_reference(qs, k, v, dense[:, :, :1] + tri, H)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=2e-5, atol=2e-5)
+
+    # per-head dense mask (Hm == H)
+    mask_h = jnp.broadcast_to(compact, (B, H, L, S)) + bias
+    got_h = _pallas_attention_perhead(q, k, v, mask_h, H, interpret=True)
+    want_h = fused_attention_reference(q, k, v, mask_h, H)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
+
+    # in-kernel dropout: exact hash-mask parity with the reference
+    seed = jnp.array([1234], jnp.int32)
+    got_d = _pallas_attention_perhead(q, k, v, compact, H, False, None,
+                                      0.35, seed, interpret=True)
+    want_d = fused_attention_reference(q, k, v, dense, H, False, None,
+                                       0.35, seed)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=2e-5, atol=2e-5)
+    dq, dk, dv = _pallas_attention_perhead_bwd(
+        q, k, v, compact, do, H, False, None, 0.35, seed, interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: fused_attention_reference(
+        q_, k_, v_, dense, H, False, None, 0.35, seed), q, k, v)
+    for g, w in zip((dq, dk, dv), vjp(do)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_dispatches_perhead_and_xla_fallback():
+    """fused_attention end-to-end at a shape where only the per-head
+    kernels fit: primal + grads match the reference (grads route through
+    the per-head backward). And at a shape beyond every kernel, the
+    custom_vjp backward falls back to XLA recompute instead of failing."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import vlpet_tpu.ops.attention as att
+
+    B, L, H, hd = 8, 384, 4, 64   # all-heads io blocks alone blow VMEM
+    inner = H * hd
+    assert att._select_attention_mode(B, L, L, inner, H, False, 0.0,
+                                      4) == "perhead"
+    ks = jax.random.split(jax.random.PRNGKey(3), 3)
+    q = jax.random.normal(ks[0], (B, L, inner), jnp.float32)
+    k = jax.random.normal(ks[1], (B, L, inner), jnp.float32)
+    v = jax.random.normal(ks[2], (B, L, inner), jnp.float32)
+    mask = jnp.zeros((B, 1, 1, L), jnp.float32)
+
+    def f(fn, q, k, v):
+        return (fn(q, k, v, mask, H, True) ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = jax.value_and_grad(
+            lambda *a: f(att.fused_attention, *a), argnums=(0, 1, 2))(q, k, v)
+    wl, wg = jax.value_and_grad(
+        lambda *a: f(att.fused_attention_reference, *a),
+        argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(loss), float(wl), rtol=1e-4)
+    for g, w in zip(grads, wg):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+    # beyond-every-kernel backward: the dispatcher must pick the XLA
+    # recompute fallback (exercise _pallas_attention_bwd directly at a
+    # length where even the per-head score matrix blows scoped vmem)
+    Lx = 1200
+    qx = jnp.ones((1, Lx, inner), jnp.float32)
+    maskx = jnp.zeros((1, 1, 1, Lx), jnp.float32)
+    assert att._select_attention_mode(1, Lx, Lx, inner, H, False, 0.0,
+                                      4) is None
+    got = att._pallas_attention_bwd(qx, qx, qx, maskx, qx, H, causal=True)
+    assert len(got) == 3 and got[0].shape == qx.shape
+    want = jax.vjp(lambda a, b, c: att.fused_attention_reference(
+        a, b, c, maskx, H, True), qx, qx, qx)[1](qx)
+    for g, w in zip(got, want):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
 
 
 def test_fused_ln_vmem_row_fitting():

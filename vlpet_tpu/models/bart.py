@@ -338,11 +338,13 @@ class BartAttention(nn.Module):
         rate = 0.0 if deterministic else float(self.dropout)
         use_pallas = (enabled
                       and (mask is not None or causal) and L > 1
-                      # long sequences (video QA: S≈604) blow the kernels'
-                      # 16 MB scoped-vmem stack — fall back to XLA
+                      # shapes beyond every kernel's 16 MB scoped-vmem
+                      # ceiling fall back to XLA; video QA (S≈604) rides
+                      # the per-head kernels (_select_attention_mode)
                       and fused_attention_fits(
                           B, L, S, q.shape[2] * q.shape[3], self.num_heads,
-                          False, rate, jnp.dtype(q.dtype).itemsize))
+                          False, rate, jnp.dtype(q.dtype).itemsize,
+                          need_bwd=not deterministic))
         if use_pallas:
             seed = (jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                        jnp.iinfo(jnp.int32).max,

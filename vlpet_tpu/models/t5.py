@@ -241,16 +241,28 @@ class T5Attention(nn.Module):
         from vlpet_tpu.ops.attention import fused_attention_fits
 
         rate = 0.0 if deterministic else float(b.dropout_rate)
+        per_head_bias = (position_bias is not None
+                         and position_bias.shape[1] > 1)
+        # Is the relative bias trainable? Ask the freezing engine with this
+        # module's param path (the 'bias' substring rule matches
+        # relative_attention_bias under use_lora / unfreeze_*bias, and
+        # unfreeze_language_model unfreezes the whole stack — advisor r2
+        # #2 / r3 review #1). All blocks share block 0's bias tensor and
+        # the rules are block-index-invariant, so self's own path decides
+        # correctly even when the param lives in block 0.
+        bias_grad = per_head_bias and path_is_trainable(
+            ".".join(self.path) + ".relative_attention_bias", self.cfg.pet)
         use_pallas = (enabled
                       and (position_bias is not None or pad_mask is not None)
                       and L > 1
-                      # long sequences (video QA: S≈604) blow the kernels'
-                      # 16 MB scoped-vmem stack — fall back to XLA
+                      # shapes beyond every kernel's 16 MB scoped-vmem
+                      # ceiling (see _select_attention_mode) fall back to
+                      # XLA; video QA (S≈604) rides the per-head kernels
                       and fused_attention_fits(
                           B, L, S, b.num_heads * b.d_kv, b.num_heads,
-                          position_bias is not None
-                          and position_bias.shape[1] > 1,
-                          rate, jnp.dtype(self._dtype).itemsize))
+                          per_head_bias, rate,
+                          jnp.dtype(self._dtype).itemsize,
+                          need_bwd=not deterministic, bias_grad=bias_grad))
         if use_pallas:
             # fused VMEM attention in projection-native layout (see
             # models/bart.py _attend). A batch-shared per-head bias
@@ -270,24 +282,10 @@ class T5Attention(nn.Module):
                                        dtype=jnp.int32)
                     if rate > 0.0 else None)
             bias = None
-            bias_grad = False
             m = pad_mask
-            if position_bias is not None and position_bias.shape[1] > 1:
+            if per_head_bias:
                 bias = jnp.broadcast_to(
                     position_bias, (1,) + position_bias.shape[1:2] + (L, S))
-                # Is the relative bias trainable? Ask the freezing engine
-                # with this module's param path (the 'bias' substring rule
-                # matches relative_attention_bias under use_lora /
-                # unfreeze_*bias, and unfreeze_language_model unfreezes the
-                # whole stack — advisor r2 #2 / r3 review #1). All blocks
-                # share block 0's bias tensor and the rules are
-                # block-index-invariant, so self's own path decides
-                # correctly even when the param lives in block 0. When
-                # trainable, the kernel emits the true dbias instead of a
-                # silent zero cotangent.
-                bias_grad = path_is_trainable(
-                    ".".join(self.path) + ".relative_attention_bias",
-                    self.cfg.pet)
             elif position_bias is not None:
                 m = (position_bias if m is None
                      else m + position_bias)  # both (B|1, 1, 1|L, S)

@@ -47,11 +47,15 @@ from vlpet_tpu.ops.hashdrop import keep_mask
 Array = jax.Array
 
 
-def head_seed(seed, h: int):
+def head_seed(seed, h):
     """Per-head seed: keep_mask's flat element index covers (batch, L, S)
     only, so heads decorrelate via a golden-ratio seed offset (tests
-    recompute the identical mask outside the kernel with this helper)."""
-    return seed.astype(jnp.uint32) + jnp.uint32((h * 0x9E3779B9) & 0xFFFFFFFF)
+    recompute the identical mask outside the kernel with this helper).
+    ``h`` may be a python int (the all-heads kernels' unrolled loop) or a
+    traced scalar (the one-head-per-program kernels' program_id) — uint32
+    multiplication wraps mod 2^32 either way, so the values agree."""
+    return (seed.astype(jnp.uint32)
+            + jnp.uint32(h) * jnp.uint32(0x9E3779B9))
 
 
 def _block_rows(B: int, cap: int = 16) -> int:
@@ -67,16 +71,14 @@ def _block_rows(B: int, cap: int = 16) -> int:
 _VMEM_LIMIT = 16 * 1024 * 1024
 
 
-def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
-                         has_bias: bool, rate: float,
-                         io_bytes: int = 4) -> bool:
-    """Conservative scoped-VMEM feasibility check for the fwd AND bwd
-    kernels, so long-sequence callers (video QA runs at S≈604, where the
-    (1, H, L, S) bias block ALONE is ~17.5 MB) fall back to the XLA einsum
-    path instead of failing to compile. Deliberately over-counts the
-    per-head working set (~2 extra (TB, L, S) f32 copies) — a borderline
-    shape quietly taking the XLA path costs perf, not correctness; the
-    flagship shapes (≤104 joint tokens) pass with >2x headroom."""
+def _full_kernel_fits(B: int, L: int, S: int, inner: int, num_heads: int,
+                      has_bias: bool, rate: float,
+                      io_bytes: int = 4) -> bool:
+    """Conservative scoped-VMEM feasibility of the all-heads-per-program
+    kernels (the flagship path). Deliberately over-counts the per-head
+    working set (~2 extra (TB, L, S) f32 copies) — a borderline shape
+    quietly taking a slower path costs perf, not correctness; the flagship
+    shapes (≤104 joint tokens) pass with >2x headroom."""
     def program_bytes(tb: int, n_io: int, n_work: int) -> int:
         io = n_io * tb * max(L, S) * inner * io_bytes
         mask = tb * 8 * S * 4
@@ -90,6 +92,59 @@ def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
     fwd = program_bytes(_block_rows(B), 4, 3)
     bwd = program_bytes(_block_rows(B, cap=8 if rate > 0.0 else 16), 8, 5)
     return max(fwd, bwd) < int(_VMEM_LIMIT * 0.9)
+
+
+def _perhead_fits(L: int, S: int, head_dim: int, has_bias: bool, rate: float,
+                  io_bytes: int, need_bwd: bool, bias_grad: bool) -> bool:
+    """Scoped-VMEM feasibility of the one-head-per-program kernels (the
+    long-sequence path): each program holds a single (L, S) score matrix,
+    so the working set is H× smaller than the flagship kernels'. Copy
+    counts calibrated on hardware (scripts/probe_perhead_attention.py):
+    every S=604 variant up to fp32 bias+dropout+bias_grad compiles, so the
+    bwd counts the ~5 genuinely co-resident score-space f32 copies
+    (p/keep/pd/dp/ds — s dies into p, the u32 hash indices are transient)
+    rather than the fwd's deliberate over-count; shapes past the verified
+    envelope (S≈700+) still gate out."""
+    io = 7 * max(L, S) * head_dim * io_bytes * 2   # blocks, double-buffered
+    mask = 2 * 8 * S * 4
+    bias = 2 * L * S * 4 if has_bias else 0        # (1,1,L,S) f32 block ×2
+    score = L * S * 4
+    fwd = io + mask + bias + (5 if rate > 0.0 else 3) * score
+    bwd = io + mask + bias + (6 if rate > 0.0 else 5) * score
+    if bias_grad:
+        bwd += score                               # grid-resident dbias
+    need = max(fwd, bwd) if need_bwd else fwd
+    return need < int(_VMEM_LIMIT * 0.9)
+
+
+def _select_attention_mode(B: int, L: int, S: int, inner: int,
+                           num_heads: int, has_bias: bool, rate: float,
+                           io_bytes: int = 4, need_bwd: bool = True,
+                           bias_grad: bool = False):
+    """'full' (all heads per program — flagship), 'perhead' (one head per
+    program — long sequences, e.g. video QA S≈604), or None (XLA path)."""
+    if _full_kernel_fits(B, L, S, inner, num_heads, has_bias, rate,
+                         io_bytes):
+        return "full"
+    if _perhead_fits(L, S, inner // num_heads, has_bias, rate, io_bytes,
+                     need_bwd, bias_grad):
+        return "perhead"
+    return None
+
+
+def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
+                         has_bias: bool, rate: float, io_bytes: int = 4,
+                         need_bwd: bool = True,
+                         bias_grad: bool = False) -> bool:
+    """Can SOME Pallas attention kernel run this shape inside the 16 MB
+    scoped-vmem stack? Long-sequence shapes (video QA S≈604) that blow the
+    all-heads kernels route to the one-head-per-program variant; only
+    shapes beyond both (e.g. S≳700 training with bias+dropout) fall back
+    to the XLA einsum path. ``need_bwd=False`` (eval/generation callers)
+    requires only the forward to fit; the backward then has an XLA
+    recompute fallback, so a stray gradient is slow, never wrong."""
+    return _select_attention_mode(B, L, S, inner, num_heads, has_bias, rate,
+                                  io_bytes, need_bwd, bias_grad) is not None
 
 
 def _heads(q_ref, h, head_dim):
@@ -218,6 +273,12 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
+    if _select_attention_mode(B, L, S, inner, num_heads, bias is not None,
+                              rate, jnp.dtype(q.dtype).itemsize,
+                              need_bwd=False) == "perhead":
+        return _pallas_attention_perhead(q, k, v, mask, num_heads, causal,
+                                         bias, rate, seed,
+                                         interpret=interpret)
     Hm, Lm = mask.shape[1], mask.shape[2]
     per_head = Hm == num_heads and num_heads > 1
     compact = Lm == 1 and Hm == 1
@@ -248,6 +309,259 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
         out_shape=jax.ShapeDtypeStruct((B, L, inner), q.dtype),
         interpret=interpret,
     )(*args)
+
+
+def _ph_mask_term(compact, mask_ref, L):
+    """The additive mask for one (L, S) score matrix, from the per-head
+    kernels' mask block: compact (1, 8, S) — 8 identical sublane rows,
+    tiled up to L by whole-tile concatenation (see _compact_mask) — or
+    dense (1, 1|H-indexed, L, S)."""
+    if compact:
+        m = mask_ref[0].astype(jnp.float32)      # (8, S)
+        reps = (L + 7) // 8
+        if reps > 1:
+            m = jnp.concatenate([m] * reps, axis=0)
+        return m[:L]
+    return mask_ref[0, 0].astype(jnp.float32)    # (L, S)
+
+
+def _ph_probs(causal, compact, has_bias, rate, seed_ref, q_ref, k_ref,
+              mask_ref, bias_ref):
+    """Recompute shared by the per-head fwd and bwd kernels: softmax probs
+    ``p`` (pre-dropout) and the regenerated keep mask (or None)."""
+    L = q_ref.shape[2]
+    h = pl.program_id(0)
+    b = pl.program_id(1)
+    s = jax.lax.dot_general(q_ref[0, 0], k_ref[0, 0], (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)  # (L, S)
+    s = s + _ph_mask_term(compact, mask_ref, L)
+    if has_bias:
+        s = s + bias_ref[0, 0].astype(jnp.float32)
+    if causal:
+        s = jnp.where(_causal_allowed(L, k_ref.shape[2]), s,
+                      jnp.float32(-1e9))
+    p = jax.nn.softmax(s, axis=-1)
+    keep = None
+    if rate > 0.0:
+        # same element identity as the all-heads kernels / the jnp
+        # reference: flat (batch, L, S) index + per-head seed offset
+        keep = keep_mask(p.shape, b * L, head_seed(seed_ref[0], h), rate)
+    return p, keep
+
+
+def _ph_fwd_kernel(causal: bool, compact: bool, has_bias: bool, rate: float,
+                   *refs):
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
+    bias_ref = rest[0] if has_bias else None
+    out_ref = rest[-1]
+    p, keep = _ph_probs(causal, compact, has_bias, rate, seed_ref,
+                        q_ref, k_ref, mask_ref, bias_ref)
+    if keep is not None:
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    o = jax.lax.dot_general(p.astype(q_ref.dtype), v_ref[0, 0],
+                            (((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    out_ref[0, 0] = o.astype(out_ref.dtype)
+
+
+def _ph_specs(B, L, S, hd, mask, num_heads, ms):
+    """(q/k/v/out specs, mask spec, prepared mask) for the (H, B) grid."""
+    Bm, Hm, Lm = mask.shape[0], mask.shape[1], mask.shape[2]
+    compact = Lm == 1 and Hm == 1
+    spec_q = pl.BlockSpec((1, 1, L, hd), lambda h, b: (b, h, 0, 0),
+                          memory_space=ms)
+    spec_kv = pl.BlockSpec((1, 1, S, hd), lambda h, b: (b, h, 0, 0),
+                           memory_space=ms)
+    if compact:
+        mask = jnp.broadcast_to(mask.reshape(Bm, 1, S), (Bm, 8, S))
+        spec_m = pl.BlockSpec(
+            (1, 8, S), lambda h, b: (b if Bm > 1 else 0, 0, 0),
+            memory_space=ms)
+    else:
+        assert Lm == L, (Lm, L)  # Lm==1 non-compact never occurs (Hm>1 ⇒ Lm=L)
+        spec_m = pl.BlockSpec(
+            (1, 1, L, S),
+            lambda h, b: (b if Bm > 1 else 0, h if Hm > 1 else 0, 0, 0),
+            memory_space=ms)
+    return spec_q, spec_kv, spec_m, mask, compact
+
+
+def _to_heads(x, num_heads):
+    B, L, inner = x.shape
+    return x.reshape(B, L, num_heads, inner // num_heads).transpose(0, 2, 1, 3)
+
+
+def _pallas_attention_perhead(q: Array, k: Array, v: Array, mask: Array,
+                              num_heads: int, causal: bool = False,
+                              bias: Optional[Array] = None, rate: float = 0.0,
+                              seed: Optional[Array] = None,
+                              *, interpret: bool = False) -> Array:
+    """Long-sequence fused attention: grid (H, B), ONE head's (L, S) score
+    matrix per program, q/k/v rearranged to (B, H, L|S, Dh) so every block
+    equals its array dims (legal at any L/S — no 8×128 divisibility needed).
+    The working set is H× smaller than the all-heads kernels', extending
+    the Pallas ceiling from S≈330 to the video-QA joint length (S≈604,
+    PERF.md "Long-sequence shapes"); the layout transposes it re-introduces
+    are ~2 orders of magnitude cheaper than the (B, H, S, S) HBM score
+    round-trips the XLA path pays at these shapes."""
+    B, L, inner = q.shape
+    S = k.shape[1]
+    hd = inner // num_heads
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_q, spec_kv, spec_m, mask, compact = _ph_specs(
+        B, L, S, hd, mask, num_heads, ms)
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [_to_heads(q, num_heads), _to_heads(k, num_heads),
+                       _to_heads(v, num_heads), mask]
+    if bias is not None:
+        assert bias.shape == (1, num_heads, L, S), bias.shape
+        in_specs.append(pl.BlockSpec((1, 1, L, S), lambda h, b: (0, h, 0, 0),
+                                     memory_space=ms))
+        args.append(bias)
+    out4 = pl.pallas_call(
+        functools.partial(_ph_fwd_kernel, causal, compact, bias is not None,
+                          rate),
+        grid=(num_heads, B),
+        in_specs=in_specs,
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, num_heads, L, hd), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out4.transpose(0, 2, 1, 3).reshape(B, L, inner)
+
+
+def _ph_bwd_kernel(causal: bool, compact: bool, has_bias: bool, rate: float,
+                   bias_grad: bool, *refs):
+    """One head's backward. With ``bias_grad`` the batch-shared bias's
+    cotangent dbias[h] = Σ_batch ds[b, h] accumulates into a (1, 1, L, S)
+    fp32 block whose index depends only on h — the batch axis is the
+    INNER grid dimension, so the block stays grid-resident across the
+    whole accumulation (TPU grids are sequential)."""
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
+    dbias_ref = None
+    if bias_grad:
+        *rest, dbias_ref = rest
+    if has_bias:
+        bias_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        bias_ref = None
+        do_ref, dq_ref, dk_ref, dv_ref = rest
+    if bias_grad:
+        @pl.when(pl.program_id(1) == 0)
+        def _init():
+            dbias_ref[...] = jnp.zeros_like(dbias_ref)
+    p, keep = _ph_probs(causal, compact, has_bias, rate, seed_ref,
+                        q_ref, k_ref, mask_ref, bias_ref)
+    if keep is not None:
+        inv = 1.0 / (1.0 - rate)
+        pd = jnp.where(keep, p * inv, 0.0)
+    else:
+        pd = p
+    do = do_ref[0, 0].astype(jnp.float32)        # (L, Dh)
+    kk = k_ref[0, 0].astype(jnp.float32)
+    vv = v_ref[0, 0].astype(jnp.float32)
+    qq = q_ref[0, 0].astype(jnp.float32)
+    # dv = pd^T @ do (contract L); dp = do @ v^T; route dp through the
+    # dropout mask; ds = p * (dp - rowsum(dp*p)) (softmax bwd, UNdropped p)
+    dv = jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dp * inv, 0.0)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    if bias_grad:
+        dbias_ref[0, 0] = dbias_ref[0, 0] + ds
+    dq = jax.lax.dot_general(ds, kk, (((1,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dk = jax.lax.dot_general(ds, qq, (((0,), (0,)), ((), ())),
+                             preferred_element_type=jnp.float32)
+    dq_ref[0, 0] = dq.astype(dq_ref.dtype)
+    dk_ref[0, 0] = dk.astype(dk_ref.dtype)
+    dv_ref[0, 0] = dv.astype(dv_ref.dtype)
+
+
+def _pallas_attention_perhead_bwd(q, k, v, mask, do, num_heads,
+                                  causal=False, bias=None, rate=0.0,
+                                  seed=None, bias_grad=False,
+                                  *, interpret=False):
+    B, L, inner = q.shape
+    S = k.shape[1]
+    hd = inner // num_heads
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_q, spec_kv, spec_m, mask, compact = _ph_specs(
+        B, L, S, hd, mask, num_heads, ms)
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [_to_heads(q, num_heads), _to_heads(k, num_heads),
+                       _to_heads(v, num_heads), mask]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, 1, L, S), lambda h, b: (0, h, 0, 0),
+                                     memory_space=ms))
+        args.append(bias)
+    in_specs.append(spec_q)
+    args.append(_to_heads(do, num_heads))
+    bias_grad = bias_grad and bias is not None
+    out_specs = (spec_q, spec_kv, spec_kv)
+    out_shape = (jax.ShapeDtypeStruct((B, num_heads, L, hd), q.dtype),
+                 jax.ShapeDtypeStruct((B, num_heads, S, hd), k.dtype),
+                 jax.ShapeDtypeStruct((B, num_heads, S, hd), v.dtype))
+    if bias_grad:
+        out_specs = out_specs + (pl.BlockSpec((1, 1, L, S),
+                                              lambda h, b: (0, h, 0, 0),
+                                              memory_space=ms),)
+        out_shape = out_shape + (jax.ShapeDtypeStruct((1, num_heads, L, S),
+                                                      jnp.float32),)
+    outs = pl.pallas_call(
+        functools.partial(_ph_bwd_kernel, causal, compact, bias is not None,
+                          rate, bias_grad),
+        grid=(num_heads, B),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        interpret=interpret,
+    )(*args)
+    def back(x4, Lx):
+        return x4.transpose(0, 2, 1, 3).reshape(B, Lx, inner)
+    dq, dk, dv = back(outs[0], L), back(outs[1], S), back(outs[2], S)
+    if bias_grad:
+        return dq, dk, dv, outs[3]
+    return dq, dk, dv
+
+
+def _xla_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
+                       bias=None, rate=0.0, seed=None, bias_grad=False):
+    """Differentiate the jnp reference — the safety-net backward for
+    shapes beyond every kernel's VMEM ceiling (correct, HBM-heavy)."""
+    if bias is None:
+        _, vjp = jax.vjp(
+            lambda q_, k_, v_: fused_attention_reference(
+                q_, k_, v_, mask, num_heads, causal, None, rate, seed),
+            q, k, v)
+        return vjp(do)
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, b_: fused_attention_reference(
+            q_, k_, v_, mask, num_heads, causal, b_, rate, seed),
+        q, k, v, bias)
+    dq, dk, dv, dbias = vjp(do)
+    if bias_grad:
+        return dq, dk, dv, dbias.astype(jnp.float32)
+    return dq, dk, dv
 
 
 def fused_attention_reference(q, k, v, mask, num_heads, causal=False,
@@ -354,6 +668,17 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
+    if not _full_kernel_fits(B, L, S, inner, num_heads, bias is not None,
+                             rate, jnp.dtype(q.dtype).itemsize):
+        # the forward ran a long-sequence path — pick the matching backward
+        if _perhead_fits(L, S, head_dim, bias is not None, rate,
+                         jnp.dtype(q.dtype).itemsize, need_bwd=True,
+                         bias_grad=bias_grad):
+            return _pallas_attention_perhead_bwd(
+                q, k, v, mask, do, num_heads, causal, bias, rate, seed,
+                bias_grad=bias_grad, interpret=interpret)
+        return _xla_attention_bwd(q, k, v, mask, do, num_heads, causal,
+                                  bias, rate, seed, bias_grad=bias_grad)
     Hm, Lm = mask.shape[1], mask.shape[2]
     per_head = Hm == num_heads and num_heads > 1
     compact = Lm == 1 and Hm == 1
