@@ -10,8 +10,10 @@ AdamW) for BOTH flagship recipes:
   scripts/image-text/T5-VL-PET-large.sh)
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} for the
-BART headline, plus "t5_examples_per_sec" / "t5_vs_bart" fields so the
-driver record captures the T5 number too.
+BART headline, plus "t5_examples_per_sec" / "t5_vs_bart",
+"beam5_decode_examples_per_sec" (caption eval protocol) and
+"video_examples_per_sec" (video-QA joint shapes, S≈604) so the driver
+record captures every flagship surface.
 
 vs_baseline denominator: the reference publishes no throughput (SURVEY.md
 §6). The A100 estimate below is derived, not measured: the published recipe
@@ -35,8 +37,8 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 10)
 A100_EST_EX_PER_SEC = 155.0
 
 
-def bench_step(cfg, tasks, B: int, n_steps: int = 10, windows: int = 3
-               ) -> float:
+def bench_step(cfg, tasks, B: int, n_steps: int = 10, windows: int = 3,
+               L_txt: int = 20) -> float:
     """examples/sec of the full train step for one model config."""
     import dataclasses
 
@@ -51,7 +53,7 @@ def bench_step(cfg, tasks, B: int, n_steps: int = 10, windows: int = 3
     # MXU-native bf16 compute; Pallas fused attention/FFN/LN default on TPU
     cfg = dataclasses.replace(cfg, dtype="bfloat16")
     model = VLT5(cfg) if cfg.is_t5 else VLBart(cfg)
-    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    batch = _batch(cfg, B=B, L_txt=L_txt, L_tgt=10)
 
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
@@ -135,6 +137,21 @@ def main():
         traceback.print_exc()
         beam_ex = None
 
+    try:
+        # video-QA joint shapes: 64 CLIP-ViT frames (feat_dim 512) + 540
+        # text tokens = S 604, batch 50 (scripts/video-text recipes) —
+        # the long-sequence kernel routes (PERF.md "Long-sequence shapes")
+        import dataclasses
+
+        video_cfg = dataclasses.replace(
+            cfg, vis=dataclasses.replace(cfg.vis, feat_dim=512, n_boxes=64))
+        video_ex = round(bench_step(video_cfg, tasks, B=50, L_txt=540), 2)
+    except Exception:
+        import traceback
+
+        traceback.print_exc()
+        video_ex = None
+
     print(json.dumps({
         "metric": "train_examples_per_sec_per_chip (BART-base VL-PET-large multitask)",
         "value": round(bart_ex, 2),
@@ -143,6 +160,7 @@ def main():
         "t5_examples_per_sec": round(t5_ex, 2),
         "t5_vs_bart": round(t5_ex / bart_ex, 3),
         "beam5_decode_examples_per_sec": beam_ex,
+        "video_examples_per_sec": video_ex,
     }))
 
 

@@ -63,6 +63,12 @@ VARIANTS = {
     "t5_video_base": {"_video": True, "_t5": True},
     "t5_video_xla_attn": {"_video": True, "_t5": True,
                           "use_pallas_attention": False},
+    # flat-row fused-LN kernels (the default) vs what long sequences fell
+    # back to before: at video shapes the jnp dropout+add+LN chain
+    # (367.7 ex/s vs 378.8), at flagship shapes the 3-D (10, 56, 768)
+    # batch-row blocks (4645.2 ex/s vs 4797.7) — PERF.md
+    "video_jnp_ln": {"_video": True, "_flat_ln_off": True},
+    "ln_3d": {"_flat_ln_off": True},
 }
 
 
@@ -78,6 +84,12 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     overrides = dict(overrides)
     pet_over = overrides.pop("_pet", None)
     video = overrides.pop("_video", False)
+    flat_ln_off = overrides.pop("_flat_ln_off", False)
+    if flat_ln_off:
+        import vlpet_tpu.ops.fused_ln as FL
+        _orig_flat_rows = FL._flat_rows
+        # flagship → 3-D batch-row blocks; long sequences → jnp chain
+        FL._flat_rows = lambda *a: 0
     if overrides.pop("_t5", False):
         cfg, tasks = _flagship_t5_cfg()
         B = 300  # published T5 recipe batch
@@ -137,6 +149,8 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
                       "ms_per_step": round(1e3 * best_dt / n_steps, 2),
                       "compile_s": round(compile_s, 1),
                       "loss": round(loss, 4)}), flush=True)
+    if flat_ln_off:
+        FL._flat_rows = _orig_flat_rows
     return ex_s
 
 

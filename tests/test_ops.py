@@ -324,6 +324,42 @@ class TestFusedDropoutAddLN:
         np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_flat_path_matches_3d_path_and_autodiff(self):
+        """The flat-row kernels (the DEFAULT route) produce the same
+        values AND the same dropout mask as the 3-D batch-row kernels —
+        both hash the global flat element index — and their backward
+        matches autodiff of the dense reference."""
+        h, res, gamma, beta = self._data(B=4, L=24, D=256)
+        seed = jnp.asarray([9], jnp.int32)
+        rate = 0.25
+        assert self.FL._flat_rows(4 * 24, 256) >= 8
+        yfl = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate,
+                                           1e-5)
+        dy = jnp.asarray(np.random.default_rng(3).normal(size=h.shape),
+                         jnp.float32)
+        dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy,
+                                             rate, 1e-5, interpret=True)
+        orig = self.FL._flat_rows
+        try:
+            self.FL._flat_rows = lambda *a: 0  # force the 3-D route
+            y3d = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed,
+                                               rate, 1e-5)
+        finally:
+            self.FL._flat_rows = orig
+        np.testing.assert_array_equal(np.asarray(y3d), np.asarray(yfl))
+        keep = jnp.asarray(np.asarray(dh) != 0.0)
+        f = lambda h, res, g, b: self._ref(h, res, g, b, keep, rate)
+        _, vjp = jax.vjp(f, h, res, gamma, beta)
+        rh, rres, rg, rb = vjp(dy)
+        np.testing.assert_allclose(np.asarray(dh), np.asarray(rh),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dres), np.asarray(rres),
+                                   rtol=1e-4, atol=1e-4)
+        np.testing.assert_allclose(np.asarray(dg), np.asarray(rg),
+                                   rtol=1e-3, atol=1e-3)
+        np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
+                                   rtol=1e-3, atol=1e-3)
+
     def test_module_plain_path_matches_dropout_plus_flax_ln(self):
         """ResidualDropoutLayerNorm's fallback path must reproduce
         nn.Dropout + nn.LayerNorm numerics exactly (the oracle/HF parity
@@ -974,16 +1010,23 @@ def test_fused_ln_vmem_row_fitting():
     """_fit_rows sizes the batch-row block to the scoped-vmem stack via
     the hardware-fitted affine model: the flagship keeps its multi-row
     blocks; video-QA sequences (L~604: 38.93M at tb=4, 20.28M even at
-    tb=1 vs the 16M limit — r3 video CLI bug) report infeasible so the
-    models fall back to the jnp chain. Kernel output is tb-invariant
+    tb=1 vs the 16M limit — r3 video CLI bug) report 3-D-infeasible and
+    route onto the FLAT row kernels instead (any length fits once B·L has
+    a multiple-of-8 divisor within budget). Kernel output is tb-invariant
     (the hash mask keys on the global element index)."""
-    from vlpet_tpu.ops.fused_ln import _fit_rows, fused_ln_fits
+    from vlpet_tpu.ops.fused_ln import _fit_rows, _flat_rows, fused_ln_fits
     import vlpet_tpu.ops.fused_ln as FL
 
     assert _fit_rows(500, 56, 768) == 10
     assert _fit_rows(300, 56, 768) >= 10
-    assert not fused_ln_fits(4, 604, 768)
-    assert not fused_ln_fits(80, 604, 768)
+    # video-QA shapes: 3-D kernels infeasible, flat kernels take over
+    assert _fit_rows(4, 604, 768) < 1 and fused_ln_fits(4, 604, 768)
+    assert _fit_rows(50, 604, 768) < 1 and fused_ln_fits(50, 604, 768)
+    assert _flat_rows(50 * 604, 768) == 200  # divides 30200, within budget
+    assert _flat_rows(7, 768) == 0           # no multiple-of-8 divisor
+    # long sequence AND odd B·L: neither path → jnp-chain fallback
+    assert not fused_ln_fits(7, 604, 768)
+    assert _flat_rows(30200, 100) == 0       # non-lane-multiple D
 
     # same output at the fitted tb=1 as at a multi-row tb (flat-index mask)
     rng = np.random.default_rng(4)

@@ -121,8 +121,9 @@ class ResidualDropoutLayerNorm(nn.Module):
 
         if (dropping and h.ndim == 3
                 and jax.default_backend() not in ("cpu",)
-                # long sequences (video QA: L≈604) blow the kernel's
-                # scoped-vmem stack — fall back to the jnp chain
+                # long sequences (video QA: L≈604) route onto the flat-row
+                # kernels inside fused_dropout_add_ln; only shapes with no
+                # legal row blocking (odd B·L) fall back to the jnp chain
                 and fused_ln_fits(h.shape[0], h.shape[1], D)):
             seed = jax.random.randint(self.make_rng("dropout"), (1,), 0,
                                       jnp.iinfo(jnp.int32).max,

@@ -15,8 +15,14 @@ The backward recomputes mask/mean/rstd and emits dh, dresidual, dgamma,
 dbeta in one pass (dgamma/dbeta accumulate across the sequential grid).
 
 Layout: h, residual (B, L, D); gamma/beta (D,) fp32 (flax param layout).
-Grid tiles the batch dim; (L, D) ride whole in each block — legal tiles for
-any L (8-multiple or full-dim) and D a lane multiple.
+Two block layouts, same math and the same element-indexed hash mask:
+the FLAT kernels (default — faster at flagship shapes too, 4797.7 vs
+4645.2 ex/s A/B) grid over the (B·L, D) row view with (R, D) blocks,
+which fit at any sequence length (LayerNorm is per-row, so the
+batch/sequence split is irrelevant to the math and the global flat index
+is unchanged); the 3-D kernels tile the batch dim with (tb, L, D) blocks
+and remain for shapes flat can't block (odd B·L, or D not a lane
+multiple, with a blockable batch dim).
 
 Reference behavior: dropout-then-post-LN chain of
 my_transformers/modeling_bart.py:1122-1388 (flax: nn.Dropout + nn.LayerNorm
@@ -63,10 +69,32 @@ def _fit_rows(B: int, L: int, D: int) -> int:
     return _block_rows(B, cap=min(16, tb_max)) if tb_max >= 1 else 0
 
 
+def _flat_rows(N: int, D: int) -> int:
+    """Row block for the FLAT kernels (grid over the B·L rows of the
+    (N, D) view — LayerNorm is per-row, so the batch/sequence split is
+    irrelevant to the math). Long sequences blow the 3-D kernels' stack
+    because their block carries L whole (the affine model's 7.6·L·D·4
+    constant); a flat block carries only R rows, so ANY length fits once
+    B·L has a multiple-of-8 divisor within budget. Budget reuses the
+    3-D model's ~11 co-resident f32 block-copies at a 0.8 margin
+    (verified on hardware at the video-QA shapes, PERF.md)."""
+    if D % 128 != 0:
+        return 0  # (R, D) blocks need lane-multiple D (Mosaic tiling rule)
+    cap = int((_VMEM_LIMIT * 0.8) // (11 * D * 4))
+    best = 0
+    r = 8
+    while r <= min(cap, N):
+        if N % r == 0:
+            best = r
+        r += 8
+    return best
+
+
 def fused_ln_fits(B: int, L: int, D: int) -> bool:
-    """False when no batch-row block fits (long sequences) — callers then
-    fall back to the jnp chain."""
-    return _fit_rows(B, L, D) >= 1
+    """False only when neither the 3-D batch-row kernels nor the flat
+    row kernels can block the shape — callers then fall back to the jnp
+    chain. Long sequences (video QA L≈604) take the flat path."""
+    return _fit_rows(B, L, D) >= 1 or _flat_rows(B * L, D) >= 1
 
 
 from vlpet_tpu.ops.hashdrop import keep_mask as _hash_keep_nd
@@ -134,6 +162,108 @@ def _bwd_kernel(rate: float, eps: float, seed_ref, h_ref, res_ref, g_ref,
     db_ref[...] += pb
 
 
+def _fwd_kernel_flat(rate: float, eps: float, seed_ref, h_ref, res_ref,
+                     g_ref, b_ref, y_ref):
+    """Flat-row forward: blocks are (R, D) slices of the (B·L, D) view.
+    The hash mask's element identity — global flat index (b·L+l)·D+d —
+    is IDENTICAL to the 3-D kernels' and the jnp reference's, so the two
+    paths produce the same values for the same seed."""
+    R = h_ref.shape[0]
+    row_base = pl.program_id(0) * R
+    hf = h_ref[...].astype(jnp.float32)
+    if rate > 0.0:
+        keep = _hash_keep(h_ref.shape, row_base, seed_ref[0], rate)
+        hf = jnp.where(keep, hf * (1.0 / (1.0 - rate)), 0.0)
+    x = res_ref[...].astype(jnp.float32) + hf
+    mu, rstd = _stats(x, eps)
+    mul = rstd * g_ref[...].astype(jnp.float32)
+    y_ref[...] = ((x - mu) * mul + b_ref[...].astype(jnp.float32)) \
+        .astype(y_ref.dtype)
+
+
+def _bwd_kernel_flat(rate: float, eps: float, seed_ref, h_ref, res_ref,
+                     g_ref, dy_ref, dh_ref, dres_ref, dg_ref, db_ref):
+    R = h_ref.shape[0]
+    pid = pl.program_id(0)
+    row_base = pid * R
+    hf = h_ref[...].astype(jnp.float32)
+    keep = None
+    if rate > 0.0:
+        keep = _hash_keep(h_ref.shape, row_base, seed_ref[0], rate)
+        hf = jnp.where(keep, hf * (1.0 / (1.0 - rate)), 0.0)
+    x = res_ref[...].astype(jnp.float32) + hf
+    mu, rstd = _stats(x, eps)
+    xhat = (x - mu) * rstd
+    dy = dy_ref[...].astype(jnp.float32)
+    dxhat = dy * g_ref[...].astype(jnp.float32)
+    m1 = jnp.mean(dxhat, axis=-1, keepdims=True)
+    m2 = jnp.mean(dxhat * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxhat - m1 - xhat * m2)
+    dres_ref[...] = dx.astype(dres_ref.dtype)
+    if keep is not None:
+        dh = jnp.where(keep, dx * (1.0 / (1.0 - rate)), 0.0)
+    else:
+        dh = dx
+    dh_ref[...] = dh.astype(dh_ref.dtype)
+    pg = jnp.sum(dy * xhat, axis=0)[None]  # (1, D)
+    pb = jnp.sum(dy, axis=0)[None]
+
+    @pl.when(pid == 0)
+    def _init():
+        dg_ref[...] = jnp.zeros_like(dg_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dg_ref[...] += pg
+    db_ref[...] += pb
+
+
+def _flat_specs(D, R, ms):
+    spec_row = pl.BlockSpec((R, D), lambda i: (i, 0), memory_space=ms)
+    spec_vec = pl.BlockSpec((1, D), lambda i: (0, 0), memory_space=ms)
+    spec_seed = pl.BlockSpec(memory_space=pltpu.SMEM)
+    return spec_row, spec_vec, spec_seed
+
+
+def _fwd_call_flat(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
+    B, L, D = h.shape
+    N = B * L
+    R = _flat_rows(N, D)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_row, spec_vec, spec_seed = _flat_specs(D, R, ms)
+    y = pl.pallas_call(
+        functools.partial(_fwd_kernel_flat, rate, eps),
+        grid=(N // R,),
+        in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_vec],
+        out_specs=spec_row,
+        out_shape=jax.ShapeDtypeStruct((N, D), h.dtype),
+        interpret=interpret,
+    )(seed, h.reshape(N, D), res.reshape(N, D), gamma.reshape(1, D),
+      beta.reshape(1, D))
+    return y.reshape(B, L, D)
+
+
+def _bwd_call_flat(h, res, gamma, seed, dy, rate, eps, *, interpret=False):
+    B, L, D = h.shape
+    N = B * L
+    R = _flat_rows(N, D)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_row, spec_vec, spec_seed = _flat_specs(D, R, ms)
+    dh, dres, dg, db = pl.pallas_call(
+        functools.partial(_bwd_kernel_flat, rate, eps),
+        grid=(N // R,),
+        in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_row],
+        out_specs=(spec_row, spec_row, spec_vec, spec_vec),
+        out_shape=(jax.ShapeDtypeStruct((N, D), h.dtype),
+                   jax.ShapeDtypeStruct((N, D), res.dtype),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32),
+                   jax.ShapeDtypeStruct((1, D), jnp.float32)),
+        interpret=interpret,
+    )(seed, h.reshape(N, D), res.reshape(N, D), gamma.reshape(1, D),
+      dy.reshape(N, D))
+    return (dh.reshape(B, L, D), dres.reshape(B, L, D),
+            dg.reshape(D), db.reshape(D))
+
+
 def _specs(B, L, D, tb, ms):
     spec_row = pl.BlockSpec((tb, L, D), lambda b: (b, 0, 0), memory_space=ms)
     spec_vec = pl.BlockSpec((1, 1, D), lambda b: (0, 0, 0), memory_space=ms)
@@ -143,6 +273,13 @@ def _specs(B, L, D, tb, ms):
 
 def _fwd_call(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
     B, L, D = h.shape
+    if _flat_rows(B * L, D) >= 1:
+        # DEFAULT: the flat-row kernels win at flagship shapes too
+        # (4797.7 vs 4645.2 ex/s same-session A/B — PERF.md) and fit any
+        # sequence length; the 3-D batch-row path below remains for
+        # shapes flat can't block (odd B·L with a blockable batch dim)
+        return _fwd_call_flat(h, res, gamma, beta, seed, rate, eps,
+                              interpret=interpret)
     tb = _fit_rows(B, L, D)
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
@@ -158,6 +295,9 @@ def _fwd_call(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
 
 def _bwd_call(h, res, gamma, seed, dy, rate, eps, *, interpret=False):
     B, L, D = h.shape
+    if _flat_rows(B * L, D) >= 1:
+        return _bwd_call_flat(h, res, gamma, seed, dy, rate, eps,
+                              interpret=interpret)
     tb = _fit_rows(B, L, D)
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _specs(B, L, D, tb, ms)
