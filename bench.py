@@ -161,6 +161,11 @@ def main():
         "t5_vs_bart": round(t5_ex / bart_ex, 3),
         "beam5_decode_examples_per_sec": beam_ex,
         "video_examples_per_sec": video_ex,
+        # the denominator of vs_baseline is derived, not measured — see the
+        # module docstring for the derivation
+        "vs_baseline_basis": (
+            "estimated A100-fp32 155 ex/s (FLOP-derived occupancy estimate, "
+            "not measured; reference publishes no throughput)"),
     }))
 
 

@@ -73,6 +73,22 @@ VARIANTS = {
 
 
 def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
+    overrides = dict(overrides)
+    if not overrides.pop("_flat_ln_off", False):
+        return _bench_variant(name, overrides, B)
+    # flagship → 3-D batch-row blocks; long sequences → jnp chain.
+    # try/finally: an exception mid-bench must not leave the flat kernels
+    # disabled for later variants in the same process.
+    import vlpet_tpu.ops.fused_ln as FL
+    _orig_flat_rows = FL._flat_rows
+    FL._flat_rows = lambda *a: 0
+    try:
+        return _bench_variant(name, overrides, B)
+    finally:
+        FL._flat_rows = _orig_flat_rows
+
+
+def _bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     from __graft_entry__ import _batch, _flagship_cfg, _flagship_t5_cfg
     from vlpet_tpu.models.t5 import VLT5
     from vlpet_tpu.models.vlbart import VLBart
@@ -81,15 +97,8 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     from vlpet_tpu.train.optim import build_optimizer
     from vlpet_tpu.train.steps import TrainState, make_train_step
 
-    overrides = dict(overrides)
     pet_over = overrides.pop("_pet", None)
     video = overrides.pop("_video", False)
-    flat_ln_off = overrides.pop("_flat_ln_off", False)
-    if flat_ln_off:
-        import vlpet_tpu.ops.fused_ln as FL
-        _orig_flat_rows = FL._flat_rows
-        # flagship → 3-D batch-row blocks; long sequences → jnp chain
-        FL._flat_rows = lambda *a: 0
     if overrides.pop("_t5", False):
         cfg, tasks = _flagship_t5_cfg()
         B = 300  # published T5 recipe batch
@@ -149,8 +158,6 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
                       "ms_per_step": round(1e3 * best_dt / n_steps, 2),
                       "compile_s": round(compile_s, 1),
                       "loss": round(loss, 4)}), flush=True)
-    if flat_ln_off:
-        FL._flat_rows = _orig_flat_rows
     return ex_s
 
 

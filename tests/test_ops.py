@@ -291,11 +291,16 @@ class TestFusedDropoutAddLN:
         y1 = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate, 1e-6)
         y2 = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate, 1e-6)
         np.testing.assert_array_equal(np.asarray(y1), np.asarray(y2))
-        # recover the mask via the backward (dh == 0 exactly where dropped)
+        # the exact mask the kernel hashes (hashdrop exists so tests can
+        # compute it outside the kernel); sanity-check it against the
+        # backward (dh == 0 exactly where dropped)
+        from vlpet_tpu.ops.hashdrop import keep_mask
+
         dy = jnp.ones_like(h)
         dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy, rate,
                                              1e-6, interpret=True)
-        keep = np.asarray(dh) != 0.0
+        keep = np.asarray(keep_mask(h.shape, jnp.uint32(0), seed[0], rate))
+        np.testing.assert_array_equal(np.asarray(dh) == 0.0, ~keep)
         frac = keep.mean()
         assert abs(frac - (1 - rate)) < 0.02, frac
         want = self._ref(h, res, gamma, beta, jnp.asarray(keep), rate)
@@ -310,7 +315,9 @@ class TestFusedDropoutAddLN:
                          jnp.float32)
         dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy, rate,
                                              1e-6, interpret=True)
-        keep = jnp.asarray(np.asarray(dh) != 0.0)
+        from vlpet_tpu.ops.hashdrop import keep_mask
+
+        keep = keep_mask(h.shape, jnp.uint32(0), seed[0], rate)
         # autodiff of the dense reference given the SAME mask
         f = lambda h, res, g, b: self._ref(h, res, g, b, keep, rate)
         _, vjp = jax.vjp(f, h, res, gamma, beta)
@@ -347,7 +354,9 @@ class TestFusedDropoutAddLN:
         finally:
             self.FL._flat_rows = orig
         np.testing.assert_array_equal(np.asarray(y3d), np.asarray(yfl))
-        keep = jnp.asarray(np.asarray(dh) != 0.0)
+        from vlpet_tpu.ops.hashdrop import keep_mask
+
+        keep = keep_mask(h.shape, jnp.uint32(0), seed[0], rate)
         f = lambda h, res, g, b: self._ref(h, res, g, b, keep, rate)
         _, vjp = jax.vjp(f, h, res, gamma, beta)
         rh, rres, rg, rb = vjp(dy)
