@@ -82,13 +82,19 @@ class TaskDataset:
                 # raw_* path: the batch carries preprocessed images; the CLIP
                 # trunk runs inside the model (RawInputVLModel)
                 if cfg.task == "nlvr":
-                    raise NotImplementedError(
-                        "raw-image NLVR (two images per example) is not "
-                        "wired; use extracted features for nlvr")
-                out["images"], _ = self.source.get(d["img_id"])
+                    # two preprocessed images per example, stacked to
+                    # (2, H, W, 3); the trunk runs on both inside the step
+                    # (reference: nlvr_raw_data.py:132-144 stacks img0/img1,
+                    # nlvr_model.py:17-24 flattens (B,2,...)→(2B,...))
+                    i0, i1 = _nlvr_img_ids(d)
+                    out["images"] = np.stack([self.source.get(i0)[0],
+                                              self.source.get(i1)[0]])
+                else:
+                    out["images"], _ = self.source.get(d["img_id"])
             elif cfg.task == "nlvr":
-                f0, b0 = self.source.get(d["img_ids"][0])
-                f1, b1 = self.source.get(d["img_ids"][1])
+                i0, i1 = _nlvr_img_ids(d)
+                f0, b0 = self.source.get(i0)
+                f1, b1 = self.source.get(i1)
                 out["vis_feats"] = np.concatenate([f0, f1], axis=0)
                 out["boxes"] = np.concatenate([b0, b1], axis=0)
                 n = f0.shape[0]
@@ -217,6 +223,15 @@ class TaskDataset:
         if "is_topk_optimal" in batch[0]:  # reference keeps the exact name
             out["is_topk_optimal"] = [e.get("is_topk_optimal") for e in batch]
         return out
+
+
+def _nlvr_img_ids(d: Dict) -> Sequence[str]:
+    """NLVR examples carry two image ids: the reference's split jsons use
+    'img0'/'img1' keys (reference: nlvr_data.py:130, nlvr_raw_data.py:133);
+    synthetic fixtures use an 'img_ids' pair."""
+    if "img_ids" in d:
+        return d["img_ids"]
+    return d["img0"], d["img1"]
 
 
 def _stack_f32(batch: List[Dict], key: str) -> np.ndarray:

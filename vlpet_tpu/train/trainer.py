@@ -424,13 +424,27 @@ class Trainer:
                 ctx = PetContext(task="nlvr", task_idx=task_idx)
                 B = batch["input_ids"].shape[0]
                 dec_ids = jnp.tile(jnp.asarray(self._nlvr_dec), (B, 1))
-                out = self.model.apply(
-                    {"params": params}, batch["input_ids"],
-                    batch["attention_mask"], vis_feats=batch.get("vis_feats"),
-                    boxes=batch.get("boxes"),
-                    img_order_ids=batch.get("img_order_ids"),
-                    obj_order_ids=batch.get("obj_order_ids"),
-                    decoder_input_ids=dec_ids, ctx=ctx, deterministic=True)
+                if self.raw:
+                    # two raw images per example go through the CLIP trunk
+                    # inside this forward (reference: nlvr_model.py:86-99)
+                    variables = {"params": params}
+                    if self.batch_stats is not None:
+                        variables["batch_stats"] = self.batch_stats
+                    out = self.model.apply(
+                        variables, batch["input_ids"],
+                        batch["attention_mask"], batch["images"],
+                        decoder_input_ids=dec_ids, ctx=ctx,
+                        deterministic=True)
+                else:
+                    out = self.model.apply(
+                        {"params": params}, batch["input_ids"],
+                        batch["attention_mask"],
+                        vis_feats=batch.get("vis_feats"),
+                        boxes=batch.get("boxes"),
+                        img_order_ids=batch.get("img_order_ids"),
+                        obj_order_ids=batch.get("obj_order_ids"),
+                        decoder_input_ids=dec_ids, ctx=ctx,
+                        deterministic=True)
                 return nlvr_predict(out["logits"], self.true_id, self.false_id,
                                     self.nlvr_position)
 

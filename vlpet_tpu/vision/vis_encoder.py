@@ -52,20 +52,45 @@ class RawInputVLModel(nn.Module):
                    else VLBart(self.cfg, name="vl"))
 
     def vis_forward(self, images, train: bool = False):
+        """(B, H, W, 3) → single-image features, or (B, n, H, W, 3) →
+        n-image features laid out as n·V_L tokens per example with
+        img_order_ids 0..n-1 and duplicated obj_order_ids (the NLVR
+        two-image layout; reference: nlvr_model.py:17-45 flattens
+        (B, 2, ...) → (2B, ...) through the trunk then views the features
+        back to (B, 2·V_L, -1)).
+
+        Returns (feats, boxes, img_order_ids, obj_order_ids); the order ids
+        are None for the single-image case."""
+        n_images = images.shape[1] if images.ndim == 5 else 1
+        if n_images > 1:
+            B = images.shape[0]
+            images = images.reshape((B * n_images,) + images.shape[2:])
         grid, pooled = self.vis_encoder(images, train=train)
         feats = pooled if self.vis_pooling_output else grid
+        if n_images > 1:
+            V_L = feats.shape[1]
+            feats = feats.reshape(B, n_images * V_L, feats.shape[-1])
+            img_order_ids = jnp.repeat(
+                jnp.arange(n_images, dtype=jnp.int32), V_L)[None]
+            obj_order_ids = jnp.tile(jnp.arange(V_L, dtype=jnp.int32),
+                                     n_images)[None]
+        else:
+            img_order_ids = obj_order_ids = None
         B, L, _ = feats.shape
         boxes = jnp.zeros((B, L, 4), feats.dtype)
-        return feats, boxes
+        return feats, boxes, img_order_ids, obj_order_ids
 
     def __call__(self, input_ids, attention_mask, images, labels=None,
-                 ctx: PetContext = None, deterministic: bool = True,
-                 reduce_loss: bool = False, train_vis: bool = False
-                 ) -> Dict[str, Any]:
-        feats, boxes = self.vis_forward(images, train=train_vis)
+                 decoder_input_ids=None, ctx: PetContext = None,
+                 deterministic: bool = True, reduce_loss: bool = False,
+                 train_vis: bool = False) -> Dict[str, Any]:
+        feats, boxes, img_order_ids, obj_order_ids = self.vis_forward(
+            images, train=train_vis)
         return self.vl(input_ids, attention_mask, vis_feats=feats, boxes=boxes,
-                       labels=labels, ctx=ctx, deterministic=deterministic,
-                       reduce_loss=reduce_loss)
+                       img_order_ids=img_order_ids,
+                       obj_order_ids=obj_order_ids, labels=labels,
+                       decoder_input_ids=decoder_input_ids, ctx=ctx,
+                       deterministic=deterministic, reduce_loss=reduce_loss)
 
     # --- generation-facing methods (vlpet_tpu.models.generate protocol) -----
 
@@ -74,9 +99,13 @@ class RawInputVLModel(nn.Module):
                ctx: PetContext = None):
         """Images ride in the vis_feats slot of the generation protocol —
         the CLIP trunk runs here, then the joint encoder."""
-        feats, fboxes = self.vis_forward(images, train=False)
+        feats, fboxes, f_img_order, f_obj_order = self.vis_forward(
+            images, train=False)
         return self.vl.encode(input_ids, attention_mask, feats, fboxes,
-                              img_order_ids, obj_order_ids,
+                              f_img_order if img_order_ids is None
+                              else img_order_ids,
+                              f_obj_order if obj_order_ids is None
+                              else obj_order_ids,
                               vis_attention_mask, ctx)
 
     def init_decode(self, encoder_hidden_states, ctx: PetContext = None):
