@@ -719,16 +719,25 @@ def copy_vlt5_weights(tm, params):
     return params
 
 
-def vlt5_pair(ref_t5_vl, seed=4):
-    """(torch model, my model, cfg, params-with-copied-weights, batch)."""
+def vlt5_pair(ref_t5_vl, seed=4, t5_recipe=False):
+    """(torch model, my model, cfg, params-with-copied-weights, batch).
+
+    ``t5_recipe=True`` activates the published T5 forward knob (gating
+    scale 0.3, scripts/image-text/T5-VL-PET-large.sh) on BOTH configs —
+    it must be set before construction: HF T5 deep-copies the config into
+    each stack, so post-hoc config mutation never reaches the layers."""
     from vlpet_tpu.config import T5Config as MyT5Config
     from vlpet_tpu.models.t5 import VLT5
 
     torch.manual_seed(1)
     tcfg = vl_ref_t5_config()
+    if t5_recipe:
+        tcfg.use_encoder_gating_scaling = True
+        tcfg.encoder_gating_scaling_factor = 0.3
     tm = ref_t5_vl.VLT5(tcfg).eval()
 
-    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK)
+    pet = vlpet_recipe("large", r=R, num_heads=4, gate_dim=GATE, tasks=TASK,
+                       t5=t5_recipe)
     cfg = VLModelConfig(
         backbone=MyT5Config(vocab_size=64, d_model=D, d_kv=8, d_ff=FFN,
                             num_layers=2, num_decoder_layers=2,

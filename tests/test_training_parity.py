@@ -186,6 +186,116 @@ def _hf_lr(step):
     return LR * max(0.0, (TOTAL - step) / (TOTAL - warmup))
 
 
+def test_vlt5_adamw_lockstep(ref_t5_vl):
+    """T5 twin of the BART lockstep below, with the published T5 recipe
+    knobs active (reference: scripts/image-text/T5-VL-PET-large.sh —
+    --use_encoder_multihead_up_zero_init
+    --use_encoder_gating_large_x_lowrank_up_zero_init
+    --use_decoder_enc_vpa_up_zero_init --use_encoder_gating_scaling
+    --encoder_gating_scaling_factor 0.3; r scaled to the tiny dims).
+    Zero-init × freezing × no-decay groups × tied-embedding rescale must
+    produce the same K-step loss trajectory and final trainable params."""
+    from vlpet_tpu.train.freezing import (path_is_trainable, split_params,
+                                          trainable_mask, weight_initialization)
+    from vlpet_tpu.train.optim import build_optimizer
+    from vlpet_tpu.train.steps import TrainState, make_train_step
+
+    tm, mm, cfg, params, batch = vlt5_pair(ref_t5_vl, t5_recipe=True)
+    pet = cfg.pet
+    # materialize jax COPIES before the torch-side zeroing below — the
+    # copied numpy leaves are VIEWS of torch tensor memory, and the two
+    # zero-init implementations must be proven equivalent INDEPENDENTLY
+    params = jax.tree_util.tree_map(lambda x: jnp.array(x, copy=True), params)
+
+    # --- identity zero-init on BOTH sides (trainer_base.py:555-575) -------
+    with torch.no_grad():
+        for n, p in tm.named_parameters():
+            if ("adapter_multihead_up" in n
+                    or "adapter_gating_large_x_up" in n
+                    or ("EncDecAttention.attn_value_parallel_adapter" in n
+                        and "up_sampler" in n)):
+                p.zero_()
+    params = weight_initialization(params, pet)
+    zeros_tmpl = jax.tree_util.tree_map(
+        lambda x: np.zeros(x.shape, np.asarray(x).dtype), params)
+
+    # --- freezing: identical substring rules on both sides ----------------
+    torch_trainable = []
+    for n, p in tm.named_parameters():
+        t = path_is_trainable(n, pet)
+        p.requires_grad_(t)
+        if t:
+            torch_trainable.append((n, p))
+    mask = trainable_mask(params, pet)
+    trainable, frozen = split_params(params, mask)
+    n_jax = sum(int(np.prod(x.shape))
+                for x in jax.tree_util.tree_leaves(trainable))
+    n_torch = sum(int(np.prod(tuple(p.shape))) for _, p in torch_trainable)
+    assert n_jax == n_torch, (n_jax, n_torch)
+
+    # --- torch loop --------------------------------------------------------
+    # reference no_decay = ['bias', 'LayerNorm.weight']; the T5 fork's LN
+    # attributes are lowercase layer_norm/final_layer_norm — match the
+    # rebuild's (intent-level) rule, as the BART lockstep does
+    no_decay = ("bias", "LayerNorm.weight", "layer_norm.weight")
+
+    def decays(n):
+        return not any(nd in n for nd in no_decay)
+
+    opt = _RefAdamW([(p, decays(n)) for n, p in torch_trainable])
+    scores = torch.ones(batch["labels"].shape[0])
+    tlosses = []
+    labels_t = torch.tensor(batch["labels"])
+    lmask = (labels_t != -100).float()
+    for i in range(K):
+        tout = _run_torch_forward(tm, batch)
+        per_tok = tout.loss.view(*labels_t.shape)
+        per_ex = (per_tok * lmask).sum(1) / lmask.sum(1).clamp(min=1.0)
+        loss = (per_ex * scores).mean()
+        loss.backward()
+        torch.nn.utils.clip_grad_norm_(tm.parameters(), CLIP)
+        opt.step(_hf_lr(i))
+        for p in tm.parameters():
+            p.grad = None
+        tlosses.append(float(loss))
+
+    # --- jax loop ----------------------------------------------------------
+    tx = build_optimizer(trainable, lr=LR, total_steps=TOTAL,
+                         warmup_ratio=WARMUP_RATIO, weight_decay=WD,
+                         adam_eps=EPS, clip_grad_norm=CLIP)
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.asarray, trainable), tx)
+    step = make_train_step(mm, tx, ("vqa",))
+    jbatch = dict(
+        input_ids=jnp.asarray(batch["input_ids"], jnp.int32),
+        attention_mask=jnp.asarray(batch["attn"], jnp.int32),
+        vis_feats=jnp.asarray(batch["feats"]),
+        boxes=jnp.asarray(batch["boxes"]),
+        target_ids=jnp.asarray(batch["labels"], jnp.int32),
+        scores=jnp.ones((batch["labels"].shape[0],), jnp.float32))
+    jlosses = []
+    for i in range(K):
+        state, metrics = step(state, frozen, jbatch, jax.random.PRNGKey(0), 0)
+        jlosses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(jlosses, tlosses, rtol=1e-4,
+                               err_msg=f"jax={jlosses} torch={tlosses}")
+
+    ref_final = copy_vlt5_weights(tm, zeros_tmpl)
+    ref_trainable, _ = split_params(ref_final, mask)
+    # atol scaled to the tensor's magnitude (vs the BART test's tighter
+    # bound): zero-initialized tensors end up with a few near-zero elements
+    # whose Adam updates m/(sqrt(v)+eps) relatively amplify fp32 noise
+    # (incl. run-to-run torch oneDNN variation) — judge those against the
+    # tensor scale (2e-4·max ≈ 0.02% of typical magnitude), the rest
+    # relatively. Losses above already lockstep at 1e-4.
+    for (name, a), (_, b) in zip(_flat(state.params), _flat(ref_trainable)):
+        a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+        np.testing.assert_allclose(
+            a, b, rtol=1e-3, atol=max(1e-8, 2e-4 * np.abs(b).max()),
+            err_msg=name)
+
+
 def test_vlbart_adamw_lockstep(ref_vl):
     """5 coupled AdamW steps on fixed batches: the torch reference stack
     (substring freezing via the SAME rules, reference AdamW + schedule +

@@ -184,8 +184,12 @@ def weight_initialization(params, pet: PetConfig):
     if pet.use_encoder_gating_large_x_lowrank_up_zero_init:
         rules.append((re.compile(r"adapter_gating_large_x.*\.up\."), 0.0))
     if pet.use_decoder_enc_vpa_up_zero_init:
+        # cross-attention VPA only (reference: trainer_base.py:567-575 keys
+        # on EncDecAttention/encoder_attn); this tree names the T5 cross
+        # attention 'cross_attn' — decoder SELF-attn VPA must not match
         rules.append((re.compile(
-            r"(encoder_attn\.attn_value_parallel_adapter|EncDecAttention\.attn_value_parallel_adapter).*up_sampler"), 0.0))
+            r"(encoder_attn|EncDecAttention|cross_attn)"
+            r"\.attn_value_parallel_adapter.*up_sampler"), 0.0))
     if pet.use_encoder_gating_small_up_zero_init:
         rules.append((re.compile(r"adapter_gating_small_xy_cat"), 0.0))
     if pet.use_encoder_gating_middle_up_zero_init:
