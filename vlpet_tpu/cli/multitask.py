@@ -220,6 +220,8 @@ def main(argv=None):
             scores = trainer.evaluate(loader, num_beams=args.num_beams,
                                       max_length=args.gen_max_length)
             print(loader.task, scores)
+            if loader.task == "caption":
+                print(f"[caption metric basis] {COCOCaptionEvaluator.BASIS}")
         return trainer
 
     history = trainer.train(mt, epochs=args.epochs, val_loaders=val_loaders)
