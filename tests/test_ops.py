@@ -873,9 +873,20 @@ def test_fused_attention_vmem_feasibility_gate():
     assert _select_attention_mode(500, 56, 56, 768, 12, False, 0.0, 2) == "full"
     assert _select_attention_mode(300, 56, 56, 768, 12, True, 0.1, 2) == "full"
     assert _select_attention_mode(300, 10, 10, 768, 12, True, 0.1, 2) == "full"
-    # video QA joint sequences — per-head kernels (bf16)
-    assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0, 2) == "perhead"
+    # video QA joint sequences (bf16): bias-free encoder self-attention
+    # prefers the L-tiled kernels (e2e +5.6%, PERF.md r4); the T5 per-head
+    # bias case keeps the per-head kernels (ltiled loses there), as do
+    # short-query sites (decoder cross L=10 — row padding waste)
+    assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0, 2) == "ltiled"
     assert _select_attention_mode(4, 604, 604, 768, 12, True, 0.1, 2) == "perhead"
+    assert _select_attention_mode(50, 10, 604, 768, 12, False, 0.0, 2) == "perhead"
+    import vlpet_tpu.ops.attention as att
+    att.PREFER_LTILED_OVER_PERHEAD = False
+    try:
+        assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0,
+                                      2) == "perhead"
+    finally:
+        att.PREFER_LTILED_OVER_PERHEAD = True
     # every hardware-verified S=604 variant passes, up to the full-FT
     # worst case (fp32, bias+dropout+trainable-bias accumulator) —
     # scripts/probe_perhead_attention.py
@@ -884,12 +895,19 @@ def test_fused_attention_vmem_feasibility_gate():
     assert fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 4)
     assert fused_attention_fits(4, 604, 604, 768, 12, True, 0.1, 2,
                                 bias_grad=True)
-    # past the verified envelope the gate stays conservative
-    assert not fused_attention_fits(4, 700, 700, 768, 12, True, 0.1, 2)
-    # far beyond every kernel's ceiling
-    assert not fused_attention_fits(4, 1200, 1200, 768, 12, True, 0.1, 2)
-    assert not fused_attention_fits(4, 1200, 1200, 768, 12, False, 0.0, 2,
-                                    need_bwd=False)
+    # past the per-head envelope the L-tiled kernels take over (r4):
+    # S=704/1024 training shapes no longer fall off Pallas
+    assert _select_attention_mode(4, 704, 704, 768, 12, True, 0.1, 2) == "ltiled"
+    assert _select_attention_mode(4, 1024, 1024, 768, 12, True, 0.1, 2) == "ltiled"
+    # ...except the trainable-bias cotangent, whose batch-innermost
+    # accumulation the L-tiled family cannot host — XLA fallback
+    assert not fused_attention_fits(4, 704, 704, 768, 12, True, 0.1, 2,
+                                    bias_grad=True)
+    # far beyond every kernel's TRAINING ceiling (f32 k/v io + f32 dk/dv
+    # accumulators alone blow scoped vmem); the forward alone still fits
+    assert not fused_attention_fits(4, 2048, 2048, 768, 12, True, 0.1, 4)
+    assert fused_attention_fits(4, 2048, 2048, 768, 12, False, 0.0, 2,
+                                need_bwd=False)
 
 
 def test_perhead_attention_matches_reference():
@@ -965,6 +983,122 @@ def test_perhead_attention_matches_reference():
                                    rtol=2e-4, atol=2e-4)
 
 
+def test_ltiled_attention_matches_reference():
+    """L-tiled all-heads kernels (the S-beyond-per-head path, r4): forward
+    and backward parity vs the jnp reference across the mask/bias/causal/
+    dropout variants. block_l forced to 8 so the row tiling AND the
+    padded-rows path (L=20 → Lp=24) are both exercised at interpret-able
+    shapes."""
+    from vlpet_tpu.ops.attention import (_pallas_attention_ltiled,
+                                         _pallas_attention_ltiled_bwd,
+                                         fused_attention_reference)
+
+    B, L, S, H, hd = 3, 20, 28, 4, 64
+    inner = H * hd
+    ks = jax.random.split(jax.random.PRNGKey(11), 6)
+    q = jax.random.normal(ks[0], (B, L, inner), jnp.float32)
+    k = jax.random.normal(ks[1], (B, S, inner), jnp.float32)
+    v = jax.random.normal(ks[2], (B, S, inner), jnp.float32)
+    do = jax.random.normal(ks[3], (B, L, inner), jnp.float32)
+    pad = jnp.where(jnp.arange(S)[None] < jnp.array([[28], [20], [9]]),
+                    0.0, -1e9).astype(jnp.float32)
+    compact = pad.reshape(B, 1, 1, S)          # length-collapsed form
+    dense = jnp.broadcast_to(compact, (B, 1, L, S))
+    bias = jax.random.normal(ks[4], (1, H, L, S), jnp.float32)
+
+    # compact mask + per-head bias, fwd
+    got = _pallas_attention_ltiled(q, k, v, compact, H, False, bias,
+                                   block_l=8, interpret=True)
+    want = fused_attention_reference(q, k, v, dense, H, False, bias)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+    # bwd (frozen bias — the only L-tiled contract)
+    dq, dk, dv = _pallas_attention_ltiled_bwd(
+        q, k, v, compact, do, H, False, bias, block_l=8, interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: fused_attention_reference(
+        q_, k_, v_, dense, H, False, bias), q, k, v)
+    for g, w in zip((dq, dk, dv), vjp(do)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+    # dense batch mask (Lm == L, exercises the row-padded mask path)
+    got_m = _pallas_attention_ltiled(q, k, v, dense, H, block_l=8,
+                                     interpret=True)
+    want_m = fused_attention_reference(q, k, v, dense, H)
+    np.testing.assert_allclose(np.asarray(got_m), np.asarray(want_m),
+                               rtol=2e-5, atol=2e-5)
+
+    # per-head dense mask (Hm == H)
+    mask_h = jnp.broadcast_to(compact, (B, H, L, S)) + bias
+    got_h = _pallas_attention_ltiled(q, k, v, mask_h, H, block_l=8,
+                                     interpret=True)
+    want_h = fused_attention_reference(q, k, v, mask_h, H)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
+
+    # causal self-attention (L == S) on a compact mask — prefix offset 0
+    qs = jax.random.normal(ks[5], (B, S, inner), jnp.float32)
+    got_c = _pallas_attention_ltiled(qs, k, v, compact, H, True, block_l=8,
+                                     interpret=True)
+    tri = jnp.where(jnp.tril(jnp.ones((S, S), bool)), 0.0,
+                    -1e9)[None, None].astype(jnp.float32)
+    want_c = fused_attention_reference(qs, k, v, dense[:, :, :1] + tri, H)
+    np.testing.assert_allclose(np.asarray(got_c), np.asarray(want_c),
+                               rtol=2e-5, atol=2e-5)
+
+    # causal with prefix slots (S > L: queries see the S-L prefix always)
+    got_cp = _pallas_attention_ltiled(q, k, v, compact, H, True, block_l=8,
+                                      interpret=True)
+    row = jnp.arange(L)[:, None]
+    col = jnp.arange(S)[None]
+    tri_p = jnp.where(col <= row + (S - L), 0.0, -1e9)[None, None]
+    want_cp = fused_attention_reference(q, k, v,
+                                        dense + tri_p.astype(jnp.float32), H)
+    np.testing.assert_allclose(np.asarray(got_cp), np.asarray(want_cp),
+                               rtol=2e-5, atol=2e-5)
+
+    # in-kernel dropout: exact hash-mask parity with the reference
+    seed = jnp.array([1234], jnp.int32)
+    got_d = _pallas_attention_ltiled(q, k, v, compact, H, False, None,
+                                     0.35, seed, block_l=8, interpret=True)
+    want_d = fused_attention_reference(q, k, v, dense, H, False, None,
+                                       0.35, seed)
+    np.testing.assert_allclose(np.asarray(got_d), np.asarray(want_d),
+                               rtol=2e-5, atol=2e-5)
+    dq, dk, dv = _pallas_attention_ltiled_bwd(
+        q, k, v, compact, do, H, False, None, 0.35, seed, block_l=8,
+        interpret=True)
+    _, vjp = jax.vjp(lambda q_, k_, v_: fused_attention_reference(
+        q_, k_, v_, dense, H, False, None, 0.35, seed), q, k, v)
+    for g, w in zip((dq, dk, dv), vjp(do)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+    # bias + dropout together through fused_attention's dispatcher with
+    # the mode forced (the T5 video S>700 training configuration)
+    import vlpet_tpu.ops.attention as att
+    from jax.experimental.pallas import tpu as pltpu
+
+    att.FORCE_MODE = "ltiled"
+    try:
+        with pltpu.force_tpu_interpret_mode():
+            loss, grads = jax.value_and_grad(
+                lambda q_, k_, v_: (att.fused_attention(
+                    q_, k_, v_, compact, H, False, bias, 0.2, seed) ** 2
+                ).sum(), argnums=(0, 1, 2))(q, k, v)
+    finally:
+        att.FORCE_MODE = None
+    wl, wg = jax.value_and_grad(
+        lambda q_, k_, v_: (fused_attention_reference(
+            q_, k_, v_, dense, H, False, bias, 0.2, seed) ** 2).sum(),
+        argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(loss), float(wl), rtol=1e-4)
+    for g, w in zip(grads, wg):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
+
+
 def test_fused_attention_dispatches_perhead_and_xla_fallback():
     """fused_attention end-to-end at a shape where only the per-head
     kernels fit: primal + grads match the reference (grads route through
@@ -976,20 +1110,27 @@ def test_fused_attention_dispatches_perhead_and_xla_fallback():
 
     B, L, H, hd = 8, 384, 4, 64   # all-heads io blocks alone blow VMEM
     inner = H * hd
-    assert att._select_attention_mode(B, L, L, inner, H, False, 0.0,
-                                      4) == "perhead"
-    ks = jax.random.split(jax.random.PRNGKey(3), 3)
-    q = jax.random.normal(ks[0], (B, L, inner), jnp.float32)
-    k = jax.random.normal(ks[1], (B, L, inner), jnp.float32)
-    v = jax.random.normal(ks[2], (B, L, inner), jnp.float32)
-    mask = jnp.zeros((B, 1, 1, L), jnp.float32)
+    # pin the per-head route (the default now PREFERS the L-tiled kernels
+    # at bias-free L>=128 shapes; this test is about the perhead dispatch)
+    att.PREFER_LTILED_OVER_PERHEAD = False
+    try:
+        assert att._select_attention_mode(B, L, L, inner, H, False, 0.0,
+                                          4) == "perhead"
+        ks = jax.random.split(jax.random.PRNGKey(3), 3)
+        q = jax.random.normal(ks[0], (B, L, inner), jnp.float32)
+        k = jax.random.normal(ks[1], (B, L, inner), jnp.float32)
+        v = jax.random.normal(ks[2], (B, L, inner), jnp.float32)
+        mask = jnp.zeros((B, 1, 1, L), jnp.float32)
 
-    def f(fn, q, k, v):
-        return (fn(q, k, v, mask, H, True) ** 2).sum()
+        def f(fn, q, k, v):
+            return (fn(q, k, v, mask, H, True) ** 2).sum()
 
-    with pltpu.force_tpu_interpret_mode():
-        loss, grads = jax.value_and_grad(
-            lambda *a: f(att.fused_attention, *a), argnums=(0, 1, 2))(q, k, v)
+        with pltpu.force_tpu_interpret_mode():
+            loss, grads = jax.value_and_grad(
+                lambda *a: f(att.fused_attention, *a),
+                argnums=(0, 1, 2))(q, k, v)
+    finally:
+        att.PREFER_LTILED_OVER_PERHEAD = True
     wl, wg = jax.value_and_grad(
         lambda *a: f(att.fused_attention_reference, *a),
         argnums=(0, 1, 2))(q, k, v)
@@ -1000,14 +1141,24 @@ def test_fused_attention_dispatches_perhead_and_xla_fallback():
 
     # beyond-every-kernel backward: the dispatcher must pick the XLA
     # recompute fallback (exercise _pallas_attention_bwd directly at a
-    # length where even the per-head score matrix blows scoped vmem)
-    Lx = 1200
+    # length where even the L-tiled f32 k/v + dk/dv blocks blow scoped
+    # vmem; bias_grad additionally excludes the L-tiled family)
+    Lx = 4096
     qx = jnp.ones((1, Lx, inner), jnp.float32)
     maskx = jnp.zeros((1, 1, 1, Lx), jnp.float32)
     assert att._select_attention_mode(1, Lx, Lx, inner, H, False, 0.0,
                                       4) is None
     got = att._pallas_attention_bwd(qx, qx, qx, maskx, qx, H, causal=True)
     assert len(got) == 3 and got[0].shape == qx.shape
+    # bias_grad at an L-tiled-only shape: XLA fallback emits the dbias
+    Lb = 704
+    qb = jnp.ones((1, Lb, inner), jnp.float32) * 0.01
+    maskb = jnp.zeros((1, 1, 1, Lb), jnp.float32)
+    biasb = jnp.zeros((1, H, Lb, Lb), jnp.float32)
+    got_b = att._pallas_attention_bwd(qb, qb, qb, maskb, qb, H, False,
+                                      biasb, 0.1, jnp.array([3], jnp.int32),
+                                      bias_grad=True)
+    assert len(got_b) == 4 and got_b[3].shape == biasb.shape
     want = jax.vjp(lambda a, b, c: att.fused_attention_reference(
         a, b, c, maskx, H, True), qx, qx, qx)[1](qx)
     for g, w in zip(got, want):

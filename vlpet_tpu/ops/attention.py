@@ -117,19 +117,88 @@ def _perhead_fits(L: int, S: int, head_dim: int, has_bias: bool, rate: float,
     return need < int(_VMEM_LIMIT * 0.9)
 
 
+_LTILED_BLOCKS = (256, 128, 64, 32, 16, 8)
+
+
+def _ltiled_block(L: int, S: int, inner: int, num_heads: int, has_bias: bool,
+                  rate: float, io_bytes: int, need_bwd: bool) -> int:
+    """Largest query-row block (multiple of 8) whose L-tiled working set
+    fits the scoped-vmem stack; 0 if none does. The kernel holds one
+    (block_l, S) score strip per head at a time plus the full (S, inner)
+    k/v blocks (grid-resident across the row sweep), so the ceiling is set
+    by S·inner io + strip copies — NOT by L, which only sets the grid."""
+    for bl in _LTILED_BLOCKS:
+        kv = 2 * S * inner * io_bytes * 2          # k+v, double-buffered
+        q_rows = 2 * bl * inner * io_bytes * 2     # q + out blocks
+        mask = max(8, bl) * S * 4 * 2
+        bias_b = num_heads * bl * S * 4 * 2 if has_bias else 0
+        strip = bl * S * 4
+        fwd = kv + q_rows + mask + bias_b + (3 if rate > 0.0 else 2) * strip
+        need = fwd
+        if need_bwd:
+            if bl > 128:
+                # hardware-calibrated cap (probe_ltiled_attention, dated
+                # note in PERF.md): the bl=256 backward fails to compile
+                # at S=604 even though the byte model says it fits, while
+                # bl=128@604 and bl=64@1024 both compile AND are the
+                # fastest feasible blocks — Mosaic's internal temporaries
+                # grow superlinearly with the strip height
+                continue
+            rows_bwd = 4 * bl * inner * io_bytes * 2   # q/do/dq(+spare)
+            dkv = 2 * S * inner * 4                    # f32 accumulators
+            bwd = (kv + rows_bwd + dkv + mask + bias_b
+                   + (6 if rate > 0.0 else 4) * strip)
+            need = max(fwd, bwd)
+        if need < int(_VMEM_LIMIT * 0.9):
+            return bl
+    return 0
+
+
 def _select_attention_mode(B: int, L: int, S: int, inner: int,
                            num_heads: int, has_bias: bool, rate: float,
                            io_bytes: int = 4, need_bwd: bool = True,
                            bias_grad: bool = False):
     """'full' (all heads per program — flagship), 'perhead' (one head per
-    program — long sequences, e.g. video QA S≈604), or None (XLA path)."""
+    program — long sequences, e.g. video QA S≈604), 'ltiled' (all heads,
+    query rows tiled — S beyond the per-head ceiling, e.g. S≥700 training),
+    or None (XLA path). ``FORCE_MODE`` overrides for benches/tests."""
+    if FORCE_MODE is not None:
+        return FORCE_MODE
     if _full_kernel_fits(B, L, S, inner, num_heads, has_bias, rate,
                          io_bytes):
         return "full"
-    if _perhead_fits(L, S, inner // num_heads, has_bias, rate, io_bytes,
-                     need_bwd, bias_grad):
+    perhead_ok = _perhead_fits(L, S, inner // num_heads, has_bias, rate,
+                               io_bytes, need_bwd, bias_grad)
+    ltiled_ok = (not bias_grad
+                 and _ltiled_block(L, S, inner, num_heads, has_bias, rate,
+                                   io_bytes, need_bwd) > 0)
+    # Preference measured e2e (PERF.md "Long-sequence shapes", r4):
+    # BART video S=604 — ltiled 400.0 vs perhead 378.9 ex/s (+5.6%); but
+    # T5 (per-head bias) loses (166.8 vs 197.0: the bias block VMEM forces
+    # tiny row blocks in the ltiled backward), and short-query sites
+    # (decoder cross, L≈10) would pad rows up to a full block for nothing.
+    if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and not has_bias
+            and L >= 128):
+        return "ltiled"
+    if perhead_ok:
         return "perhead"
+    if ltiled_ok:
+        return "ltiled"
     return None
+
+
+#: Test/bench hook: force a specific kernel family ('full' | 'perhead' |
+#: 'ltiled') regardless of the VMEM feasibility estimates. None = auto.
+FORCE_MODE: Optional[str] = None
+
+#: Long-sequence preference: when 'full' doesn't fit and BOTH long-sequence
+#: families do, take the L-tiled kernels instead of the per-head ones (only
+#: for bias-free, L>=128 sites — see _select_attention_mode). Default True
+#: from the e2e A/B (PERF.md "Long-sequence (video) shapes", r4): BART
+#: video S=604 400.0 vs 378.9 ex/s (+5.6%), S=704 neutral (343.9 vs
+#: 345.1); the excluded cases (T5 per-head bias, short-query cross sites)
+#: measured worse under ltiled and keep the per-head kernels.
+PREFER_LTILED_OVER_PERHEAD: bool = True
 
 
 def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
@@ -273,12 +342,17 @@ def _pallas_attention(q: Array, k: Array, v: Array, mask: Array,
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
-    if _select_attention_mode(B, L, S, inner, num_heads, bias is not None,
-                              rate, jnp.dtype(q.dtype).itemsize,
-                              need_bwd=False) == "perhead":
+    mode = _select_attention_mode(B, L, S, inner, num_heads, bias is not None,
+                                  rate, jnp.dtype(q.dtype).itemsize,
+                                  need_bwd=False)
+    if mode == "perhead":
         return _pallas_attention_perhead(q, k, v, mask, num_heads, causal,
                                          bias, rate, seed,
                                          interpret=interpret)
+    if mode == "ltiled":
+        return _pallas_attention_ltiled(q, k, v, mask, num_heads, causal,
+                                        bias, rate, seed,
+                                        interpret=interpret)
     Hm, Lm = mask.shape[1], mask.shape[2]
     per_head = Hm == num_heads and num_heads > 1
     compact = Lm == 1 and Hm == 1
@@ -544,6 +618,270 @@ def _pallas_attention_perhead_bwd(q, k, v, mask, do, num_heads,
     return dq, dk, dv
 
 
+# ---------------------------------------------------------------------------
+# L-tiled all-heads kernels (flash-style query-row tiling; any S)
+# ---------------------------------------------------------------------------
+#
+# The per-head kernels cap out when one (L, S) score matrix's ~5 backward
+# copies blow the scoped-vmem stack (S≈700 with bias+dropout). These
+# kernels tile the QUERY rows instead: grid (B, ceil(L/block_l)), each
+# program computing block_l query rows against ALL S keys for every head —
+# the score working set shrinks to (block_l, S) strips while the softmax
+# stays exact (full row present; no online max/sum rescaling needed).
+# k/v ride as full (S, inner) blocks whose index depends only on the batch
+# grid dim, so they stay grid-resident across the row sweep.
+#
+# Two structural wins over the per-head family:
+# * ANY sequence length fits — block_l shrinks to keep strips in VMEM
+#   while k/v io (S·inner) stays small until S is in the thousands;
+# * q/k/v keep the native (B, L, H·Dh) projection layout — none of the
+#   (B, L, H·Dh) ↔ (B, H, L, Dh) transposes the per-head kernels
+#   re-introduced (22% of the video-QA step was data formatting).
+#
+# The trainable-bias cotangent (dbias = Σ_batch ds) is NOT supported here:
+# its accumulation needs the batch axis innermost, which would break the
+# dk/dv accumulation (batch outer, rows inner). bias_grad callers fall
+# back to the XLA path — only full-FT T5 past the per-head ceiling hits it.
+
+
+def _lt_pad_rows(x, Lp):
+    if x is None or x.shape[1] == Lp:
+        return x
+    return jnp.pad(x, ((0, 0), (0, Lp - x.shape[1]), (0, 0)))
+
+
+def _lt_prepare(q, mask, bias, do, num_heads, block_l):
+    """Pad query rows to a block_l multiple; pad mask/bias row dims to
+    match. Padded rows produce garbage sliced off by the caller; their
+    gradients vanish because the padded ``do`` rows are zero."""
+    B, L, inner = q.shape
+    Lp = -(-L // block_l) * block_l
+    q = _lt_pad_rows(q, Lp)
+    do = _lt_pad_rows(do, Lp)
+    if mask.shape[2] not in (1, Lp):  # dense (B|1, 1|H, L, S) mask
+        mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Lp - mask.shape[2]), (0, 0)))
+    if bias is not None and bias.shape[2] != Lp:
+        bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - bias.shape[2]),
+                              (0, 0)))
+    return q, mask, bias, do, Lp
+
+
+def _lt_specs(B, S, inner, mask, num_heads, block_l, ms):
+    """Block specs for the (B, n_row_blocks) grid."""
+    Bm, Hm, Lm = mask.shape[0], mask.shape[1], mask.shape[2]
+    compact = Lm == 1 and Hm == 1
+    spec_q = pl.BlockSpec((1, block_l, inner), lambda b, l: (b, l, 0),
+                          memory_space=ms)
+    spec_kv = pl.BlockSpec((1, S, inner), lambda b, l: (b, 0, 0),
+                           memory_space=ms)
+    if compact:
+        mask = jnp.broadcast_to(mask.reshape(Bm, 1, S), (Bm, 8, S))
+        spec_m = pl.BlockSpec((1, 8, S),
+                              lambda b, l: (b if Bm > 1 else 0, 0, 0),
+                              memory_space=ms)
+    else:
+        spec_m = pl.BlockSpec(
+            (1, Hm, block_l, S),
+            lambda b, l: (b if Bm > 1 else 0, 0, l, 0), memory_space=ms)
+    return spec_q, spec_kv, spec_m, mask, compact
+
+
+def _lt_mask_term(compact, per_head, mask_ref, block_l, h):
+    if compact:
+        m = mask_ref[0].astype(jnp.float32)          # (8, S)
+        reps = (block_l + 7) // 8
+        if reps > 1:
+            m = jnp.concatenate([m] * reps, axis=0)
+        return m[:block_l]
+    return mask_ref[0, h if per_head else 0].astype(jnp.float32)
+
+
+def _lt_head(head_dim, per_head, compact, has_bias, causal, rate, L, S,
+             block_l, seed_ref, q_ref, k_ref, mask_ref, bias_ref, h):
+    """One head's (block_l, S) softmax probs + dropout keep mask."""
+    sl = slice(h * head_dim, (h + 1) * head_dim)
+    s = jax.lax.dot_general(q_ref[0, :, sl], k_ref[0, :, sl],
+                            (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
+    s = s + _lt_mask_term(compact, per_head, mask_ref, block_l, h)
+    if has_bias:
+        s = s + bias_ref[0, h].astype(jnp.float32)
+    row0 = pl.program_id(1) * block_l
+    if causal:
+        row = jax.lax.broadcasted_iota(jnp.int32, (block_l, S), 0) + row0
+        col = jax.lax.broadcasted_iota(jnp.int32, (block_l, S), 1)
+        s = jnp.where(col <= row + (S - L), s, jnp.float32(-1e9))
+    p = jax.nn.softmax(s, axis=-1)
+    keep = None
+    if rate > 0.0:
+        # same element identity as every other path: global flat index
+        # over the REAL (batch, L, S) score tensor + per-head seed offset
+        keep = keep_mask((block_l, S), pl.program_id(0) * L + row0,
+                         head_seed(seed_ref[0], h), rate)
+    return p, keep
+
+
+def _lt_fwd_kernel(num_heads, head_dim, per_head, compact, has_bias, causal,
+                   rate, L, S, block_l, *refs):
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
+    bias_ref = rest[0] if has_bias else None
+    out_ref = rest[-1]
+    for h in range(num_heads):
+        p, keep = _lt_head(head_dim, per_head, compact, has_bias, causal,
+                           rate, L, S, block_l, seed_ref, q_ref, k_ref,
+                           mask_ref, bias_ref, h)
+        if keep is not None:
+            p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        o = jax.lax.dot_general(p.astype(q_ref.dtype), v_ref[0, :, sl],
+                                (((1,), (0,)), ((), ())),
+                                preferred_element_type=jnp.float32)
+        out_ref[0, :, sl] = o.astype(out_ref.dtype)
+
+
+def _pallas_attention_ltiled(q, k, v, mask, num_heads, causal=False,
+                             bias=None, rate=0.0, seed=None,
+                             *, block_l=None, interpret=False):
+    B, L, inner = q.shape
+    S = k.shape[1]
+    hd = inner // num_heads
+    if block_l is None:
+        block_l = _ltiled_block(L, S, inner, num_heads, bias is not None,
+                                rate, jnp.dtype(q.dtype).itemsize,
+                                need_bwd=False)
+    assert block_l > 0
+    q, mask, bias, _, Lp = _lt_prepare(q, mask, bias, None, num_heads,
+                                       block_l)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_q, spec_kv, spec_m, mask, compact = _lt_specs(
+        B, S, inner, mask, num_heads, block_l, ms)
+    per_head = mask.shape[1] == num_heads and num_heads > 1
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [q, k, v, mask]
+    if bias is not None:
+        assert bias.shape == (1, num_heads, Lp, S), bias.shape
+        in_specs.append(pl.BlockSpec((1, num_heads, block_l, S),
+                                     lambda b, l: (0, 0, l, 0),
+                                     memory_space=ms))
+        args.append(bias)
+    out = pl.pallas_call(
+        functools.partial(_lt_fwd_kernel, num_heads, hd, per_head, compact,
+                          bias is not None, causal, rate, L, S, block_l),
+        grid=(B, Lp // block_l),
+        in_specs=in_specs,
+        out_specs=spec_q,
+        out_shape=jax.ShapeDtypeStruct((B, Lp, inner), q.dtype),
+        interpret=interpret,
+    )(*args)
+    return out[:, :L]
+
+
+def _lt_bwd_kernel(num_heads, head_dim, per_head, compact, has_bias, causal,
+                   rate, L, S, block_l, *refs):
+    """dk/dv accumulate into f32 (1, S, inner) blocks whose index depends
+    only on the batch grid dim — the row sweep is the INNER grid dimension,
+    so the blocks stay grid-resident across the whole accumulation (TPU
+    grids are sequential); init on the first row block."""
+    if rate > 0.0:
+        seed_ref, *refs = refs
+    else:
+        seed_ref = None
+    q_ref, k_ref, v_ref, mask_ref, *rest = refs
+    if has_bias:
+        bias_ref, do_ref, dq_ref, dk_ref, dv_ref = rest
+    else:
+        bias_ref = None
+        do_ref, dq_ref, dk_ref, dv_ref = rest
+
+    @pl.when(pl.program_id(1) == 0)
+    def _init():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    for h in range(num_heads):
+        sl = slice(h * head_dim, (h + 1) * head_dim)
+        p, keep = _lt_head(head_dim, per_head, compact, has_bias, causal,
+                           rate, L, S, block_l, seed_ref, q_ref, k_ref,
+                           mask_ref, bias_ref, h)
+        if keep is not None:
+            inv = 1.0 / (1.0 - rate)
+            pd = jnp.where(keep, p * inv, 0.0)
+        else:
+            pd = p
+        do = do_ref[0, :, sl].astype(jnp.float32)   # (block_l, Dh)
+        kk = k_ref[0, :, sl].astype(jnp.float32)    # (S, Dh)
+        vv = v_ref[0, :, sl].astype(jnp.float32)
+        qq = q_ref[0, :, sl].astype(jnp.float32)
+        dv = jax.lax.dot_general(pd, do, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, vv, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        if keep is not None:
+            dp = jnp.where(keep, dp * inv, 0.0)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq = jax.lax.dot_general(ds, kk, (((1,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dk = jax.lax.dot_general(ds, qq, (((0,), (0,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        dq_ref[0, :, sl] = dq.astype(dq_ref.dtype)
+        dk_ref[0, :, sl] = dk_ref[0, :, sl] + dk
+        dv_ref[0, :, sl] = dv_ref[0, :, sl] + dv
+
+
+def _pallas_attention_ltiled_bwd(q, k, v, mask, do, num_heads, causal=False,
+                                 bias=None, rate=0.0, seed=None,
+                                 *, block_l=None, interpret=False):
+    B, L, inner = q.shape
+    S = k.shape[1]
+    hd = inner // num_heads
+    if block_l is None:
+        block_l = _ltiled_block(L, S, inner, num_heads, bias is not None,
+                                rate, jnp.dtype(q.dtype).itemsize,
+                                need_bwd=True)
+    assert block_l > 0
+    q, mask, bias, do, Lp = _lt_prepare(q, mask, bias, do, num_heads,
+                                        block_l)
+    ms = pl.ANY if interpret else pltpu.VMEM
+    spec_q, spec_kv, spec_m, mask, compact = _lt_specs(
+        B, S, inner, mask, num_heads, block_l, ms)
+    per_head = mask.shape[1] == num_heads and num_heads > 1
+    pre_specs, pre_args = [], []
+    if rate > 0.0:
+        pre_specs = [pl.BlockSpec(memory_space=pltpu.SMEM)]
+        pre_args = [seed]
+    in_specs = pre_specs + [spec_q, spec_kv, spec_kv, spec_m]
+    args = pre_args + [q, k, v, mask]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec((1, num_heads, block_l, S),
+                                     lambda b, l: (0, 0, l, 0),
+                                     memory_space=ms))
+        args.append(bias)
+    in_specs.append(spec_q)
+    args.append(do)
+    spec_dkv = pl.BlockSpec((1, S, inner), lambda b, l: (b, 0, 0),
+                            memory_space=ms)
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_lt_bwd_kernel, num_heads, hd, per_head, compact,
+                          bias is not None, causal, rate, L, S, block_l),
+        grid=(B, Lp // block_l),
+        in_specs=in_specs,
+        out_specs=(spec_q, spec_dkv, spec_dkv),
+        out_shape=(jax.ShapeDtypeStruct((B, Lp, inner), q.dtype),
+                   jax.ShapeDtypeStruct((B, S, inner), jnp.float32),
+                   jax.ShapeDtypeStruct((B, S, inner), jnp.float32)),
+        interpret=interpret,
+    )(*args)
+    return dq[:, :L], dk.astype(k.dtype), dv.astype(v.dtype)
+
+
 def _xla_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
                        bias=None, rate=0.0, seed=None, bias_grad=False):
     """Differentiate the jnp reference — the safety-net backward for
@@ -668,15 +1006,22 @@ def _pallas_attention_bwd(q, k, v, mask, do, num_heads, causal=False,
     B, L, inner = q.shape
     S = k.shape[1]
     head_dim = inner // num_heads
-    if not _full_kernel_fits(B, L, S, inner, num_heads, bias is not None,
-                             rate, jnp.dtype(q.dtype).itemsize):
+    mode = _select_attention_mode(B, L, S, inner, num_heads,
+                                  bias is not None, rate,
+                                  jnp.dtype(q.dtype).itemsize,
+                                  need_bwd=True, bias_grad=bias_grad)
+    if mode != "full":
         # the forward ran a long-sequence path — pick the matching backward
-        if _perhead_fits(L, S, head_dim, bias is not None, rate,
-                         jnp.dtype(q.dtype).itemsize, need_bwd=True,
-                         bias_grad=bias_grad):
+        if mode == "perhead":
             return _pallas_attention_perhead_bwd(
                 q, k, v, mask, do, num_heads, causal, bias, rate, seed,
                 bias_grad=bias_grad, interpret=interpret)
+        if mode == "ltiled" and not bias_grad:
+            # (no dbias entry — fused_attention's _bwd zero-fills when
+            # bias_grad is False, matching the perhead contract)
+            return _pallas_attention_ltiled_bwd(
+                q, k, v, mask, do, num_heads, causal, bias, rate, seed,
+                interpret=interpret)
         return _xla_attention_bwd(q, k, v, mask, do, num_heads, causal,
                                   bias, rate, seed, bias_grad=bias_grad)
     Hm, Lm = mask.shape[1], mask.shape[2]
