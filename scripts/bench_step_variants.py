@@ -95,6 +95,10 @@ VARIANTS = {
                              "use_pallas_attention": False},
     "video1024_base": {"_video": 1024},
     "video1024_xla_attn": {"_video": 1024, "use_pallas_attention": False},
+    # the e2e FFN bwd at N=16·1024=16384 blows scoped vmem at tb=128
+    # (19.68M) while N=35200 at the same tile compiles — e2e tile A/B
+    "video1024_ffn64": {"_video": 1024, "_ffn_tb": 64},
+    "video1024_ffn32": {"_video": 1024, "_ffn_tb": 32},
     "t5_video1024_base": {"_video": 1024, "_t5": True},
     "t5_video1024_xla_attn": {"_video": 1024, "_t5": True,
                               "use_pallas_attention": False},
@@ -121,6 +125,19 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             return bench_variant(name, overrides, B)
         finally:
             att.PREFER_LTILED_OVER_PERHEAD = prev
+    ffn_tb = overrides.pop("_ffn_tb", None)
+    if ffn_tb is not None:
+        # pin the fused-FFN row tile (the isolated probe methodology is
+        # dead on this tunnel — the helper crashes on fresh isolated FFN
+        # compiles — so tile questions are answered e2e here)
+        import vlpet_tpu.ops.ffn as FFN
+        orig = FFN._row_tile
+        FFN._row_tile = (lambda n, d, f, budget_mb=13.0, n_w=2,
+                         hid_f32=1, _tb=ffn_tb: _tb)
+        try:
+            return bench_variant(name, overrides, B)
+        finally:
+            FFN._row_tile = orig
     if not overrides.pop("_flat_ln_off", False):
         return _bench_variant(name, overrides, B)
     # flagship → 3-D batch-row blocks; long sequences → jnp chain.

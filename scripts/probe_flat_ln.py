@@ -35,22 +35,24 @@ def main():
     rng = np.random.default_rng(0)
     seed = jnp.asarray([7], jnp.int32)
     for R in rs:
-        N = R * 13  # any multiple; the monkeypatch pins the block to R
-        h = jnp.asarray(rng.normal(size=(N, D)) * 0.1, jnp.float32)
-        res = jnp.asarray(rng.normal(size=(N, D)) * 0.1, jnp.float32)
+        # 3-D (B, L, D) like the model call sites; B*L = 13R rows so the
+        # monkeypatched block R divides the flat row view exactly
+        h = jnp.asarray(rng.normal(size=(13, R, D)) * 0.1, jnp.float32)
+        res = jnp.asarray(rng.normal(size=(13, R, D)) * 0.1, jnp.float32)
         gamma = jnp.ones((D,), jnp.float32)
-        dy = jnp.asarray(rng.normal(size=(N, D)), jnp.float32)
+        dy = jnp.asarray(rng.normal(size=(13, R, D)), jnp.float32)
+        N = 13 * R
         orig = FL._flat_rows
         FL._flat_rows = lambda n, d, _r=R: _r
         try:
             f = jax.jit(lambda h, res, gamma, dy: FL._bwd_call(
                 h, res, gamma, seed, dy, 0.1, 1e-6))
             out = f(h, res, gamma, dy)
-            float(jnp.asarray(out[0][0, 0]))
+            float(jnp.asarray(out[0].ravel()[0]))
             t0 = time.perf_counter()
             for _ in range(20):
                 out = f(h, res, gamma, dy)
-            float(jnp.asarray(out[0][0, 0]))
+            float(jnp.asarray(out[0].ravel()[0]))
             dt = (time.perf_counter() - t0) / 20
             print(f"R={R} (N={N}): OK {dt*1e3:.2f} ms", flush=True)
         except Exception as e:  # noqa: BLE001

@@ -96,7 +96,24 @@ def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0,
 
     Power-of-two tiles only: Mosaic's scoped-vmem stack allocation blows
     past the 16 MB limit for other sizes (tb 80/112/160 all fail compile
-    where 128 fits — scripts/probe_ffn_tile.py)."""
+    where 128 fits — scripts/probe_ffn_tile.py).
+
+    ``VLPET_FFN_ROW_TILE`` env var pins the tile explicitly. Escape hatch
+    for a CONTEXT-DEPENDENT Mosaic stack blow-up this model cannot
+    predict (PERF.md r4 "S=1024" note): the identical bwd kernel at
+    N=16384 compiles inside one step graph (XLA attention neighbors) and
+    exceeds scoped vmem by 0.8-3.7 MB inside another (Pallas attention
+    neighbors), while N=30208/35200 compile in both. At the affected
+    video S=1024 shape, VLPET_FFN_ROW_TILE=32 runs the full Pallas step
+    at 169.4 ex/s — 9% above the best alternative. On self-managed TPU
+    VMs, raising the limit itself (LIBTPU_INIT_ARGS
+    --xla_tpu_scoped_vmem_limit_kib) is the cleaner lever; the tunneled
+    terminal here pins LIBTPU_INIT_ARGS, so the tile override stands in."""
+    import os
+
+    pinned = os.environ.get("VLPET_FFN_ROW_TILE")
+    if pinned:
+        return int(pinned)
     weights = 2 * n_w * d * f  # bf16
     for tb in (512, 256, 128, 64, 32, 16, 8):
         tile = tb * (d * 2 + f * 4 * hid_f32 + f * 2 + d * 4)

@@ -87,6 +87,10 @@ def _flat_rows(N: int, D: int) -> int:
         if N % r == 0:
             best = r
         r += 8
+    # hardware-probed envelope (scripts/probe_flat_ln.py, 2026-08-19):
+    # R = 16, 56, 200, 256, 320, AND 392 (the model's cap at D=768) all
+    # compile and run — the 11-copy budget is confirmed across the full
+    # legal range, not just at the two originally fitted shapes.
     return best
 
 
