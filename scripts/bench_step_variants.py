@@ -80,6 +80,7 @@ VARIANTS = {
     "t5_video_ltiled": {"_video": True, "_t5": True,
                         "_force_mode": "ltiled"},
     "video_preferlt": {"_video": True, "_prefer_ltiled": True},
+    "video_perhead": {"_video": True, "_prefer_ltiled": False},
     "t5_video_preferlt": {"_video": True, "_t5": True,
                           "_prefer_ltiled": True},
     "video704_preferlt": {"_video": 704, "_prefer_ltiled": True},
@@ -117,10 +118,11 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             return bench_variant(name, overrides, B)
         finally:
             att.FORCE_MODE = None
-    if overrides.pop("_prefer_ltiled", False):
+    prefer = overrides.pop("_prefer_ltiled", None)
+    if prefer is not None:
         import vlpet_tpu.ops.attention as att
         prev = att.PREFER_LTILED_OVER_PERHEAD
-        att.PREFER_LTILED_OVER_PERHEAD = True
+        att.PREFER_LTILED_OVER_PERHEAD = prefer
         try:
             return bench_variant(name, overrides, B)
         finally:

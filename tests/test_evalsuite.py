@@ -222,6 +222,39 @@ def test_bleu_golden_fixture():
     np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_meteor_paraphrase_stage_injected():
+    """The Meteor paraphrase stage (r4): an injected phrase table aligns
+    multi-word spans the unigram stages miss. Table: (b, c) ≡ (x, y).
+    hyp 'a b c d' vs ref 'a x y d': unigram stages match a and d; the
+    phrase stage consumes (b,c)↔(x,y) → m_h = m_r = 4, P = R = 1,
+    alignment fully contiguous/in-order → chunks = 1 (the phrase match is
+    ONE unit), penalty = 0.5·(1/4)³ → score = 1 − 0.5/64."""
+    from vlpet_tpu.evalsuite.caption import meteor
+
+    table = {("b", "c"): {("x", "y")}}
+    with_par = meteor(["a b c d"], [["a x y d"]], synonyms=None,
+                      paraphrases=table)
+    without = meteor(["a b c d"], [["a x y d"]], synonyms=None)
+    np.testing.assert_allclose(with_par, 1.0 - 0.5 * (1 / 4) ** 3,
+                               rtol=1e-10)
+    # without the stage: m=2 (a, d), chunks=2, P=R=1/2 →
+    # Fmean = .5·.5/(.9·.5+.1·.5) = .5; pen = 0.5·(2/2)³ = 0.5
+    np.testing.assert_allclose(without, 0.5 * 0.5, rtol=1e-10)
+
+    # unequal span lengths: (e, f) ≡ (z,): m_h=2, m_r=1 — P and R use
+    # their own sides, penalty uses the mean match count
+    table2 = {("e", "f"): {("z",)}}
+    got = meteor(["a e f"], [["a z"]], synonyms=None, paraphrases=table2)
+    p, r = 3 / 3, 2 / 2
+    f = p * r / (0.9 * p + 0.1 * r)
+    pen = 0.5 * (1 / ((3 + 2) / 2)) ** 3
+    np.testing.assert_allclose(got, f * (1 - pen), rtol=1e-10)
+    # the table matches in either direction
+    got_rev = meteor(["a z"], [["a e f"]], synonyms=None,
+                     paraphrases=table2)
+    assert got_rev > meteor(["a z"], [["a e f"]], synonyms=None)
+
+
 def test_meteor_synonym_stage_injected():
     """The synonym stage must align WordNet-style lemma matches that the
     exact+stem stages miss. Injected table: car≡automobile. With the stage,

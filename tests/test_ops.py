@@ -874,7 +874,8 @@ def test_fused_attention_vmem_feasibility_gate():
     assert _select_attention_mode(300, 56, 56, 768, 12, True, 0.1, 2) == "full"
     assert _select_attention_mode(300, 10, 10, 768, 12, True, 0.1, 2) == "full"
     # video QA joint sequences (bf16): bias-free encoder self-attention
-    # prefers the L-tiled kernels (e2e +5.6%, PERF.md r4); the T5 per-head
+    # prefers the L-tiled kernels (e2e parity-to-better + no head
+    # transposes, PERF.md r4); the T5 per-head
     # bias case keeps the per-head kernels (ltiled loses there), as do
     # short-query sites (decoder cross L=10 — row padding waste)
     assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0, 2) == "ltiled"

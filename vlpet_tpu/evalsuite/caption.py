@@ -235,16 +235,26 @@ def wordnet_synonyms(word: str) -> Optional[frozenset]:
         return None
 
 
-def _meteor_align(hyp: List[str], ref: List[str], synonyms=None):
-    """Greedy staged unigram alignment: exact → Porter stem → synonym.
+def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
+                  paraphrases=None):
+    """Greedy staged alignment: exact → Porter stem → synonym [→ phrase
+    paraphrase].
 
     ``synonyms``: optional word → set-of-lemmas function (the Meteor
     synonymy module; `wordnet_synonyms` when WordNet data is installed).
     Two words synonym-match if either's set contains the other.
 
-    Returns (matches, chunks): each hyp position maps to at most one ref
-    position; chunks counts maximal runs that are contiguous AND in order
-    in both strings (the METEOR fragmentation unit)."""
+    ``paraphrases``: optional phrase table for the Meteor paraphrase
+    stage — a callable (or dict .get) mapping a TUPLE of tokens to a set
+    of equivalent token tuples. After the unigram stages, unaligned hyp
+    spans (longest-first, up to 4 tokens) match unaligned ref spans that
+    appear in either direction of the table. Spans may differ in length
+    (Meteor's phrase matches do), so matches are counted per side.
+
+    Returns (m_h, m_r, chunks): matched word counts in the hypothesis
+    and the reference, and the number of maximal aligned runs that are
+    contiguous AND in order in both strings (the METEOR fragmentation
+    unit; a phrase match is one contiguous unit)."""
     ref_used = [False] * len(ref)
     align = [-1] * len(hyp)
 
@@ -272,69 +282,128 @@ def _meteor_align(hyp: List[str], ref: List[str], synonyms=None):
             return bool(sa and b in sa) or bool(sb and a in sb)
 
         stage(hyp, ref, syn_match)
-    pairs = [(i, j) for i, j in enumerate(align) if j >= 0]
-    m = len(pairs)
+
+    # span pairs (h_start, h_len, r_start, r_len); unigram matches first
+    spans = [(i, 1, j, 1) for i, j in enumerate(align) if j >= 0]
+
+    if paraphrases is not None:
+        table = paraphrases.get if hasattr(paraphrases, "get") else paraphrases
+
+        def free_h(s, ln):
+            return all(align[k] < 0 for k in range(s, s + ln))
+
+        def free_r(s, ln):
+            return all(not ref_used[k] for k in range(s, s + ln))
+
+        def pair_ok(hp, rp):
+            eq_h = table(hp)
+            if eq_h and rp in eq_h:
+                return True
+            eq_r = table(rp)
+            return bool(eq_r and hp in eq_r)
+
+        for hl in range(min(4, len(hyp)), 0, -1):
+            for hs in range(0, len(hyp) - hl + 1):
+                if not free_h(hs, hl):
+                    continue
+                hp = tuple(hyp[hs:hs + hl])
+                matched = False
+                for rl in range(min(4, len(ref)), 0, -1):
+                    for rs in range(0, len(ref) - rl + 1):
+                        if not free_r(rs, rl):
+                            continue
+                        if pair_ok(hp, tuple(ref[rs:rs + rl])):
+                            spans.append((hs, hl, rs, rl))
+                            for k in range(hs, hs + hl):
+                                align[k] = 10 ** 9  # consumed, no ref pos
+                            for k in range(rs, rs + rl):
+                                ref_used[k] = True
+                            matched = True
+                            break
+                    if matched:
+                        break
+
+    spans.sort()
+    m_h = sum(s[1] for s in spans)
+    m_r = sum(s[3] for s in spans)
     chunks = 0
     prev = None
-    for i, j in pairs:  # pairs already sorted by hyp position
-        if prev is None or i != prev[0] + 1 or j != prev[1] + 1:
+    for hs, hl, rs, rl in spans:
+        if prev is None or hs != prev[0] or rs != prev[1]:
             chunks += 1
-        prev = (i, j)
-    return m, chunks
+        prev = (hs + hl, rs + rl)
+    return m_h, m_r, chunks
 
 
 def meteor(predicts: List[str], references: List[List[str]],
            alpha: float = 0.9, beta: float = 3.0, gamma: float = 0.5,
-           synonyms="auto") -> float:
-    """Corpus METEOR with exact + Porter-stem + WordNet-synonym matching.
+           synonyms="auto", paraphrases=None) -> float:
+    """Corpus METEOR with exact + Porter-stem + WordNet-synonym
+    [+ paraphrase-phrase] matching.
 
     Classic Banerjee & Lavie (2005) scoring: Fmean = P*R/(alpha*P +
     (1-alpha)*R) (alpha=0.9 == the original 10PR/(R+9P)), fragmentation
     penalty gamma*(chunks/m)**beta, best reference per segment, statistics
-    aggregated over the corpus (as the Java Meteor jar does).
+    aggregated over the corpus (as the Java Meteor jar does). With phrase
+    matches the matched-word counts differ per side, so P uses hypothesis
+    matches, R reference matches, and the penalty's m is their mean (the
+    Meteor aligner's convention); with unigram-only matches this reduces
+    exactly to the classic formula (cross-validated vs nltk,
+    tests/test_caption_crossval.py).
 
     ``synonyms``: "auto" uses `wordnet_synonyms` when the WordNet corpus
     data is installed (nltk alone does not ship it; it is absent in a
     no-egress environment — the stage then silently disables); pass a
     callable to inject a synonym table, or None to force exact+stem only.
 
+    ``paraphrases``: optional Meteor paraphrase table — dict or callable
+    mapping token tuples to sets of equivalent token tuples (see
+    `_meteor_align`). The Java Meteor-1.5 jar ships an English table
+    derived from parallel corpora; an environment that has it can load it
+    into this seam (or inject the whole jar via COCOCaptionEvaluator's
+    ``external_scorers``).
+
     Remaining deltas vs the reference's Java Meteor-1.5
-    (requirements.txt:14): no paraphrase-table stage, no per-stage match
-    weights (1.0/0.6/0.8), no function-word discounting — scores track but
-    do not exactly equal the Java numbers. SPICE genuinely requires the
-    Java scene-graph pipeline and stays None (see COCOCaptionEvaluator).
-    """
+    (requirements.txt:14): no per-stage match weights (1.0/0.6/0.8/0.6)
+    and no function-word discounting — those parameters are deliberately
+    NOT approximated because they cannot be validated offline; scores
+    track but do not exactly equal the Java numbers. SPICE genuinely
+    requires the Java scene-graph pipeline and stays None (see
+    COCOCaptionEvaluator)."""
     if synonyms == "auto":
         synonyms = (wordnet_synonyms
                     if wordnet_synonyms("car") is not None else None)
-    tm = th = tr = tch = 0.0
+    tmh = tmr = th = tr = tch = 0.0
     for pred, refs in zip(predicts, references):
         hyp_t = ptb_tokenize(pred)
-        best = None  # (score, m, hyp_len, ref_len, chunks)
+        best = None  # (score, m_h, m_r, hyp_len, ref_len, chunks)
         for ref in refs:
             ref_t = ptb_tokenize(ref)
-            m, ch = _meteor_align(hyp_t, ref_t, synonyms)
-            if m == 0 or not hyp_t or not ref_t:
-                cand = (0.0, 0, len(hyp_t), len(ref_t), 0)
+            m_h, m_r, ch = _meteor_align(hyp_t, ref_t, synonyms,
+                                         paraphrases)
+            if m_h == 0 or not hyp_t or not ref_t:
+                cand = (0.0, 0, 0, len(hyp_t), len(ref_t), 0)
             else:
-                p = m / len(hyp_t)
-                r = m / len(ref_t)
+                p = m_h / len(hyp_t)
+                r = m_r / len(ref_t)
                 f = p * r / (alpha * p + (1 - alpha) * r)
-                pen = gamma * (ch / m) ** beta
-                cand = (f * (1 - pen), m, len(hyp_t), len(ref_t), ch)
+                pen = gamma * (ch / ((m_h + m_r) / 2)) ** beta
+                cand = (f * (1 - pen), m_h, m_r, len(hyp_t), len(ref_t),
+                        ch)
             if best is None or cand[0] > best[0]:
                 best = cand
-        _, m, hl, rl, ch = best
-        tm += m
+        _, m_h, m_r, hl, rl, ch = best
+        tmh += m_h
+        tmr += m_r
         th += hl
         tr += rl
         tch += ch
-    if tm == 0 or th == 0 or tr == 0:
+    if tmh == 0 or tmr == 0 or th == 0 or tr == 0:
         return 0.0
-    p = tm / th
-    r = tm / tr
+    p = tmh / th
+    r = tmr / tr
     f = p * r / (alpha * p + (1 - alpha) * r)
-    pen = gamma * (tch / tm) ** beta
+    pen = gamma * (tch / ((tmh + tmr) / 2)) ** beta
     return f * (1 - pen)
 
 

@@ -172,11 +172,14 @@ def _select_attention_mode(B: int, L: int, S: int, inner: int,
     ltiled_ok = (not bias_grad
                  and _ltiled_block(L, S, inner, num_heads, has_bias, rate,
                                    io_bytes, need_bwd) > 0)
-    # Preference measured e2e (PERF.md "Long-sequence shapes", r4):
-    # BART video S=604 — ltiled 400.0 vs perhead 378.9 ex/s (+5.6%); but
-    # T5 (per-head bias) loses (166.8 vs 197.0: the bias block VMEM forces
-    # tiny row blocks in the ltiled backward), and short-query sites
-    # (decoder cross, L≈10) would pad rows up to a full block for nothing.
+    # Preference measured e2e (PERF.md "Long-sequence shapes", r4): BART
+    # video S=604 — ltiled never lost across paired same-session A/Bs
+    # (400.0 vs 378.9 in one session, 376.4 vs 375.2 in another — i.e.
+    # parity-to-better within tunnel noise) and it extends the feasible-S
+    # ceiling, so it is the default; but T5 (per-head bias) loses (166.8
+    # vs 197.0: the bias block VMEM forces tiny row blocks in the ltiled
+    # backward), and short-query sites (decoder cross, L≈10) would pad
+    # rows up to a full block for nothing.
     if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and not has_bias
             and L >= 128):
         return "ltiled"
@@ -194,10 +197,12 @@ FORCE_MODE: Optional[str] = None
 #: Long-sequence preference: when 'full' doesn't fit and BOTH long-sequence
 #: families do, take the L-tiled kernels instead of the per-head ones (only
 #: for bias-free, L>=128 sites — see _select_attention_mode). Default True
-#: from the e2e A/B (PERF.md "Long-sequence (video) shapes", r4): BART
-#: video S=604 400.0 vs 378.9 ex/s (+5.6%), S=704 neutral (343.9 vs
-#: 345.1); the excluded cases (T5 per-head bias, short-query cross sites)
-#: measured worse under ltiled and keep the per-head kernels.
+#: from the e2e A/Bs (PERF.md "Long-sequence (video) shapes", r4): BART
+#: video S=604 never measured worse than per-head (400.0 vs 378.9, then
+#: 376.4 vs 375.2 in a second session — parity within tunnel noise),
+#: S=704 neutral (343.9 vs 345.1), and the family extends the feasible-S
+#: ceiling; the excluded cases (T5 per-head bias, short-query cross
+#: sites) measured worse under ltiled and keep the per-head kernels.
 PREFER_LTILED_OVER_PERHEAD: bool = True
 
 
