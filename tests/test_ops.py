@@ -331,6 +331,34 @@ class TestFusedDropoutAddLN:
         np.testing.assert_allclose(np.asarray(db), np.asarray(rb),
                                    rtol=1e-3, atol=1e-3)
 
+    def test_padded_flat_path(self):
+        """B·L without a multiple-of-8 divisor (r4: the tvqa video-CLI
+        shape class) rides the flat kernels via zero row PADDING: values
+        must equal the dense reference with the same hash mask, and the
+        backward must match autodiff — including dgamma/dbeta, where
+        padded rows must contribute exactly nothing."""
+        h, res, gamma, beta = self._data(B=5, L=13, D=256)  # N=65 → pad 72
+        assert (5 * 13) % self.FL._flat_rows(5 * 13, 256) != 0
+        seed = jnp.asarray([21], jnp.int32)
+        rate = 0.3
+        y = self.FL.fused_dropout_add_ln(h, res, gamma, beta, seed, rate,
+                                         1e-5)
+        from vlpet_tpu.ops.hashdrop import keep_mask
+
+        keep = keep_mask(h.shape, jnp.uint32(0), seed[0], rate)
+        want = self._ref(h, res, gamma, beta, keep, rate, eps=1e-5)
+        np.testing.assert_allclose(np.asarray(y), np.asarray(want),
+                                   rtol=1e-4, atol=1e-4)
+        dy = jnp.asarray(np.random.default_rng(8).normal(size=h.shape),
+                         jnp.float32)
+        dh, dres, dg, db = self.FL._bwd_call(h, res, gamma, seed, dy, rate,
+                                             1e-5, interpret=True)
+        f = lambda h, res, g, b: self._ref(h, res, g, b, keep, rate, 1e-5)
+        _, vjp = jax.vjp(f, h, res, gamma, beta)
+        for got, ref in zip((dh, dres, dg, db), vjp(dy)):
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-3, atol=1e-3)
+
     def test_flat_path_matches_3d_path_and_autodiff(self):
         """The flat-row kernels (the DEFAULT route) produce the same
         values AND the same dropout mask as the 3-D batch-row kernels —
@@ -1184,9 +1212,12 @@ def test_fused_ln_vmem_row_fitting():
     assert _fit_rows(4, 604, 768) < 1 and fused_ln_fits(4, 604, 768)
     assert _fit_rows(50, 604, 768) < 1 and fused_ln_fits(50, 604, 768)
     assert _flat_rows(50 * 604, 768) == 200  # divides 30200, within budget
-    assert _flat_rows(7, 768) == 0           # no multiple-of-8 divisor
-    # long sequence AND odd B·L: neither path → jnp-chain fallback
-    assert not fused_ln_fits(7, 604, 768)
+    # no multiple-of-8 divisor → the call sites zero-pad the row view
+    # (r4: B·L = 50·113 = 5650, the tvqa video-CLI shape, previously fell
+    # to the 3-D kernels whose VMEM model broke at L=113 on hardware)
+    assert _flat_rows(5650, 768) == 392      # pad-capable block at cap
+    assert _flat_rows(7, 768) == 8           # single padded block
+    assert fused_ln_fits(7, 604, 768)
     assert _flat_rows(30200, 100) == 0       # non-lane-multiple D
 
     # same output at the fitted tb=1 as at a multi-row tb (flat-index mask)

@@ -1176,12 +1176,21 @@ class BartDecoder(nn.Module):
             h = h + pos_emb[None]
             max_len = cache[0]["k"].shape[0]  # time-major cache
             if beam_anc is not None:
-                from vlpet_tpu.ops.decode import _BEAM_TB
+                from vlpet_tpu.ops.decode import _BEAM_TB, beam_blocks_fit
 
-                # opt-in re-probe hatch; see the use_fused_beam config note
+                # opt-in re-probe hatch; see the use_fused_beam config note.
+                # beam_blocks_fit: the fused kernels' (L, tb·J, inner)
+                # cache blocks blow the 16 MB scoped-vmem stack at f32
+                # long-cache shapes (the tvc video-CLI eval, r4) — such
+                # shapes take the XLA einsum fallback in beam_decode_attend
+                K_ = beam_anc.shape[1]
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
-                              and c.use_fused_beam)
+                              and c.use_fused_beam
+                              and beam_blocks_fit(
+                                  max_len, K_, K_, b.d_model,
+                                  b.decoder_attention_heads,
+                                  jnp.dtype(dt).itemsize))
                 # the raw (B, K, L) ancestry travels to the attention, which
                 # builds its flat kernel mask directly (ops/decode.py
                 # beam_sel_big) — the 4-D additive form's tiny minor dims

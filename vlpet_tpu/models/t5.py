@@ -756,12 +756,20 @@ class T5Decoder(nn.Module):
             if beam_anc is not None:
                 # reorder-free beam decode: the ancestry-derived mask carries
                 # the causal constraint; the bias row rides through attention
-                from vlpet_tpu.ops.decode import _BEAM_TB
+                from vlpet_tpu.ops.decode import _BEAM_TB, beam_blocks_fit
 
-                # opt-in re-probe hatch; see the use_fused_beam config note
+                # opt-in re-probe hatch; see the use_fused_beam config
+                # note. beam_blocks_fit: f32 long-cache shapes blow the
+                # fused kernels' scoped vmem (see bart.py) → XLA fallback
+                K_ = beam_anc.shape[1]
+                b_ = self.cfg.backbone
                 beam_fused = (jax.default_backend() not in ("cpu",)
                               and beam_anc.shape[0] % _BEAM_TB == 0
-                              and self.cfg.use_fused_beam)
+                              and self.cfg.use_fused_beam
+                              and beam_blocks_fit(
+                                  max_len, K_, K_,
+                                  b_.num_heads * b_.d_kv, b_.num_heads,
+                                  jnp.dtype(dt).itemsize))
                 # raw (B, K, L) ancestry; attention builds the flat kernel
                 # mask directly (ops/decode.py beam_sel_big — see bart.py)
                 beam_sel = beam_anc

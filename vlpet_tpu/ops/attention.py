@@ -134,6 +134,12 @@ def _ltiled_block(L: int, S: int, inner: int, num_heads: int, has_bias: bool,
         bias_b = num_heads * bl * S * 4 * 2 if has_bias else 0
         strip = bl * S * 4
         fwd = kv + q_rows + mask + bias_b + (3 if rate > 0.0 else 2) * strip
+        if io_bytes >= 4:
+            # f32 calibration: the (50, 636, 768) f32 bwd at bl=64 used
+            # 16.41M on hardware vs 14.27M modeled (tvc video CLI,
+            # 2026-08-19) — Mosaic's f32 buffering overhead is ~2.1M past
+            # the byte model; all bf16 blocks are probe-validated as-is
+            fwd += 2.5 * 1024 * 1024
         need = fwd
         if need_bwd:
             if bl > 128:
@@ -148,6 +154,8 @@ def _ltiled_block(L: int, S: int, inner: int, num_heads: int, has_bias: bool,
             dkv = 2 * S * inner * 4                    # f32 accumulators
             bwd = (kv + rows_bwd + dkv + mask + bias_b
                    + (6 if rate > 0.0 else 4) * strip)
+            if io_bytes >= 4:
+                bwd += 2.5 * 1024 * 1024  # f32 calibration (see fwd)
             need = max(fwd, bwd)
         if need < int(_VMEM_LIMIT * 0.9):
             return bl
@@ -180,8 +188,15 @@ def _select_attention_mode(B: int, L: int, S: int, inner: int,
     # vs 197.0: the bias block VMEM forces tiny row blocks in the ltiled
     # backward), and short-query sites (decoder cross, L≈10) would pad
     # rows up to a full block for nothing.
+    # io_bytes <= 2: the preference is asserted only where it was
+    # hardware-validated (bf16 — every e2e A/B and probe); f32 long
+    # sequences keep the per-head kernels (the f32 ltiled backward's
+    # VMEM behavior ran ~2.1M past the model on the tvc CLI shape and is
+    # a fallback configuration, not a perf path). ltiled remains the
+    # last resort for f32 shapes past the per-head ceiling, now under
+    # the f32-calibrated block model.
     if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and not has_bias
-            and L >= 128):
+            and L >= 128 and io_bytes <= 2):
         return "ltiled"
     if perhead_ok:
         return "perhead"

@@ -125,6 +125,25 @@ def decode_attend(q: Array, k: Array, v: Array,
 
 
 _BEAM_TB = 8  # batch elements per program (sublane-aligns tb*J cache rows)
+_VMEM_LIMIT = 16 * 1024 * 1024
+
+
+def beam_blocks_fit(L: int, K: int, J: int, inner: int, num_heads: int,
+                    io_bytes: int) -> bool:
+    """Scoped-VMEM feasibility of the beam self-attend kernels' blocks
+    (per program: q/out (tb·K, inner), k/v (L, tb·J, inner), the flat
+    sel mask (tb·K, L·tb·J) and bias (H, L·tb·J)). Calibrated on
+    hardware (2026-08-19): the f32 video-CLI beam (L=40, K=J=5, inner
+    768) estimates 10.4 MB and used 18.75 MB on chip (OOM vs the 16 MB
+    stack) — a 1.8× model-to-actual factor (Mosaic double-buffering) —
+    while the flagship bf16 beam estimates 5.4 MB (×1.9 = 10.2 MB) and
+    runs. Threshold: est·1.9 ≤ 16M·0.9. Infeasible shapes take the XLA
+    einsum fallback (correct, slower)."""
+    tb = _BEAM_TB
+    tbK, tbJ = tb * K, tb * J
+    est = (io_bytes * (2 * L * tbJ * inner + 2 * tbK * inner)
+           + 4 * (tbK * L * tbJ + num_heads * L * tbJ))
+    return est * 1.9 <= _VMEM_LIMIT * 0.9
 
 
 def _beam_self_kernel(num_heads: int, head_dim: int,
@@ -357,7 +376,9 @@ def beam_decode_attend(q: Array, k: Array, v: Array, sel_mask: Array,
         B, K, J, L = sel_mask.shape
     H, Dh = q.shape[-2:]
     if ((jax.default_backend() not in ("cpu",) or _FORCE_KERNEL)
-            and B % _BEAM_TB == 0):
+            and B % _BEAM_TB == 0
+            and beam_blocks_fit(L, K, J, H * Dh, H,
+                                jnp.dtype(q.dtype).itemsize)):
         # Pallas kernel: reads the time-major cache natively (no XLA layout
         # transpose -> the cache dus stays in place) and keeps the softmax
         # in VMEM. seq2seq_generate pads B to a multiple of tb in beam mode.

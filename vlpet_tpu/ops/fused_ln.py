@@ -91,7 +91,19 @@ def _flat_rows(N: int, D: int) -> int:
     # R = 16, 56, 200, 256, 320, AND 392 (the model's cap at D=768) all
     # compile and run — the 11-copy budget is confirmed across the full
     # legal range, not just at the two originally fitted shapes.
-    return best
+    if best:
+        return best
+    # No exact divisor (e.g. B·L = 50·113 = 5650, a single factor of 2):
+    # the call sites zero-PAD the row view to a multiple of R and slice
+    # back — padded rows produce garbage y (sliced off) and zero
+    # dgamma/dbeta contributions (dy is zero-padded), and the hash mask
+    # keys on the global row index so real rows keep their exact values.
+    # This keeps EVERY D%128==0 shape on the flat kernels; before r4 such
+    # shapes fell to the 3-D kernels, whose affine VMEM model — fitted at
+    # L=604 — proved badly optimistic at other L on the current
+    # toolchain (26.17M actual vs 14.4M modeled at (50, 113, 768) f32
+    # tb=10, the tvqa video-CLI regression this padding fixes).
+    return min((cap // 8) * 8, -(-N // 8) * 8)
 
 
 def fused_ln_fits(B: int, L: int, D: int) -> bool:
@@ -228,43 +240,53 @@ def _flat_specs(D, R, ms):
     return spec_row, spec_vec, spec_seed
 
 
+def _pad_flat(x, Np):
+    """Zero-pad the (N, D) row view to Np rows (see _flat_rows: the hash
+    mask keys on the global row index, so real rows are unaffected; the
+    padded rows' outputs are sliced off and their cotangents vanish)."""
+    return x if x.shape[0] == Np else jnp.pad(x, ((0, Np - x.shape[0]),
+                                                  (0, 0)))
+
+
 def _fwd_call_flat(h, res, gamma, beta, seed, rate, eps, *, interpret=False):
     B, L, D = h.shape
     N = B * L
     R = _flat_rows(N, D)
+    Np = -(-N // R) * R
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _flat_specs(D, R, ms)
     y = pl.pallas_call(
         functools.partial(_fwd_kernel_flat, rate, eps),
-        grid=(N // R,),
+        grid=(Np // R,),
         in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_vec],
         out_specs=spec_row,
-        out_shape=jax.ShapeDtypeStruct((N, D), h.dtype),
+        out_shape=jax.ShapeDtypeStruct((Np, D), h.dtype),
         interpret=interpret,
-    )(seed, h.reshape(N, D), res.reshape(N, D), gamma.reshape(1, D),
-      beta.reshape(1, D))
-    return y.reshape(B, L, D)
+    )(seed, _pad_flat(h.reshape(N, D), Np), _pad_flat(res.reshape(N, D), Np),
+      gamma.reshape(1, D), beta.reshape(1, D))
+    return y[:N].reshape(B, L, D)
 
 
 def _bwd_call_flat(h, res, gamma, seed, dy, rate, eps, *, interpret=False):
     B, L, D = h.shape
     N = B * L
     R = _flat_rows(N, D)
+    Np = -(-N // R) * R
     ms = pl.ANY if interpret else pltpu.VMEM
     spec_row, spec_vec, spec_seed = _flat_specs(D, R, ms)
     dh, dres, dg, db = pl.pallas_call(
         functools.partial(_bwd_kernel_flat, rate, eps),
-        grid=(N // R,),
+        grid=(Np // R,),
         in_specs=[spec_seed, spec_row, spec_row, spec_vec, spec_row],
         out_specs=(spec_row, spec_row, spec_vec, spec_vec),
-        out_shape=(jax.ShapeDtypeStruct((N, D), h.dtype),
-                   jax.ShapeDtypeStruct((N, D), res.dtype),
+        out_shape=(jax.ShapeDtypeStruct((Np, D), h.dtype),
+                   jax.ShapeDtypeStruct((Np, D), res.dtype),
                    jax.ShapeDtypeStruct((1, D), jnp.float32),
                    jax.ShapeDtypeStruct((1, D), jnp.float32)),
         interpret=interpret,
-    )(seed, h.reshape(N, D), res.reshape(N, D), gamma.reshape(1, D),
-      dy.reshape(N, D))
-    return (dh.reshape(B, L, D), dres.reshape(B, L, D),
+    )(seed, _pad_flat(h.reshape(N, D), Np), _pad_flat(res.reshape(N, D), Np),
+      gamma.reshape(1, D), _pad_flat(dy.reshape(N, D), Np))
+    return (dh[:N].reshape(B, L, D), dres[:N].reshape(B, L, D),
             dg.reshape(D), db.reshape(D))
 
 
