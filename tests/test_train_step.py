@@ -229,3 +229,73 @@ def test_classifier_head_t5():
     res = trainer.predict_classifier(loader,
                                      {v: k for k, v in ans2label.items()})
     assert set(res["quesid2ans"].values()) <= {"yes", "no"}
+
+
+def test_scoped_vmem_auto_retry():
+    """Trainer.do_train_step retries ONCE with VLPET_FFN_ROW_TILE=32 and a
+    re-traced step when the compile fails on Mosaic scoped vmem (the
+    graph-context-dependent FFN stack blow-up — PERF.md r4 'Toolchain
+    drift'). Simulated by a step fn that raises the vmem error on its
+    first call; unrelated errors must propagate untouched."""
+    import os
+
+    from vlpet_tpu.data.datasets import (DatasetConfig, Loader, TaskDataset,
+                                         synthetic_task_data)
+    from vlpet_tpu.data.tokenization import WhitespaceTokenizer
+    from vlpet_tpu.train.trainer import Trainer, _is_scoped_vmem_oom
+
+    assert _is_scoped_vmem_oom(RuntimeError(
+        "INTERNAL: Ran out of memory in memory space vmem while ..."))
+    assert _is_scoped_vmem_oom(RuntimeError(
+        "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: ..."))
+    assert not _is_scoped_vmem_oom(RuntimeError("Ran out of memory in hbm"))
+
+    cfg = VLModelConfig(
+        backbone=BartConfig(vocab_size=60, d_model=32, encoder_layers=1,
+                            decoder_layers=1, encoder_attention_heads=4,
+                            decoder_attention_heads=4, encoder_ffn_dim=64,
+                            decoder_ffn_dim=64, max_position_embeddings=32,
+                            dropout=0.0),
+        vis=VisConfig(feat_dim=16, n_boxes=4),
+        pet=vlpet_recipe("large", r=8, num_heads=4, gate_dim=8, tasks=TASKS))
+    tok = WhitespaceTokenizer(vocab_size=60)
+    examples, source = synthetic_task_data("vqa", 4, n_boxes=4, feat_dim=16)
+    ds = TaskDataset(DatasetConfig(task="vqa", max_text_length=8,
+                                   gen_max_length=4, n_boxes=4, feat_dim=16),
+                     examples, source, tok)
+    batch = next(iter(Loader(ds, 4)))
+    trainer = Trainer(cfg, TASKS, lr=1e-2, total_steps=10, tokenizer=tok,
+                      verbose=False)
+    os.environ.pop("VLPET_FFN_ROW_TILE", None)
+
+    real_step = trainer.train_step
+    calls = {"n": 0}
+
+    def failing_once(*a, **kw):
+        calls["n"] += 1
+        raise RuntimeError("Ran out of memory in memory space vmem while "
+                           "allocating on stack for %ffn")
+
+    trainer.train_step = failing_once
+    try:
+        m = trainer.do_train_step(batch)
+        # first call raised; the retry rebuilt a REAL step and succeeded
+        assert calls["n"] == 1
+        assert np.isfinite(float(m["loss"]))
+        assert os.environ.get("VLPET_FFN_ROW_TILE") == "32"
+        assert trainer.train_step is not failing_once  # re-traced
+    finally:
+        os.environ.pop("VLPET_FFN_ROW_TILE", None)
+        trainer.train_step = real_step
+
+    # unrelated errors propagate
+    def failing_other(*a, **kw):
+        raise RuntimeError("something else entirely")
+
+    trainer.train_step = failing_other
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="something else"):
+            trainer.do_train_step(batch)
+    finally:
+        trainer.train_step = real_step

@@ -52,6 +52,14 @@ def array_batch(batch: Dict[str, Any]) -> Dict[str, Any]:
     return {k: jnp.asarray(v) for k, v in batch.items() if k in ARRAY_BATCH_KEYS}
 
 
+def _is_scoped_vmem_oom(e: Exception) -> bool:
+    """A Mosaic scoped-vmem compile failure (directly, or behind the
+    tunnel's opaque remote-compile HTTP 500)."""
+    s = str(e)
+    return ("vmem" in s and "Ran out of memory" in s) or (
+        "remote_compile" in s and "HTTP 500" in s)
+
+
 class Trainer:
     def __init__(self, cfg: VLModelConfig, tasks: Tuple[str, ...], *,
                  lr: float = 1e-3, total_steps: int = 1000,
@@ -198,9 +206,9 @@ class Trainer:
             self.train_step = make_raw_train_step(self.model, self.tx,
                                                   self.tasks)
         else:
+            self.lambda_z = cfg.pet.lambda_z if cfg.pet.track_z else 0.0
             self.train_step = make_train_step(
-                self.model, self.tx, self.tasks,
-                lambda_z=(cfg.pet.lambda_z if cfg.pet.track_z else 0.0))
+                self.model, self.tx, self.tasks, lambda_z=self.lambda_z)
         # rbg PRNG: TPU-native generator, ~8% faster train step than
         # threefry at flagship shapes (dropout bit generation; see PERF.md)
         self.rng = jax.random.key(seed + 1, impl="rbg")
@@ -253,6 +261,32 @@ class Trainer:
             arr = {k: jnp.take(v, idx, axis=0) for k, v in arr.items()}
         arr = {k: jax.device_put(v, self.batch_shard) for k, v in arr.items()}
         self.rng, sub = jax.random.split(self.rng)
+        try:
+            return self._run_step(arr, sub, task)
+        except Exception as e:  # noqa: BLE001
+            if not _is_scoped_vmem_oom(e):
+                raise
+            # Mosaic's scoped-vmem usage for the fused-FFN backward is
+            # GRAPH-CONTEXT-DEPENDENT on some toolchains (PERF.md r4
+            # "Toolchain drift"): the identical kernel compiles in one
+            # step graph and overflows the 16 MB stack in another, so no
+            # trace-time tile model can be exact. Auto-retry ONCE with
+            # the row tile pinned small (VLPET_FFN_ROW_TILE=32 —
+            # hardware-validated at every affected shape) and the step
+            # re-traced; compile failures raise before the donated state
+            # is consumed, so the retry is safe.
+            import logging
+            import os
+
+            logging.getLogger(__name__).warning(
+                "train step hit a scoped-vmem compile failure; retrying "
+                "once with VLPET_FFN_ROW_TILE=32 (PERF.md 'Toolchain "
+                "drift'): %s", str(e)[:200])
+            os.environ["VLPET_FFN_ROW_TILE"] = "32"
+            self._rebuild_train_step()
+            return self._run_step(arr, sub, task)
+
+    def _run_step(self, arr, sub, task):
         if self.raw:
             self.state, metrics = self.train_step(
                 self.state, self.frozen, self.batch_stats, arr, sub,
@@ -261,6 +295,18 @@ class Trainer:
             self.state, metrics = self.train_step(self.state, self.frozen, arr,
                                                   sub, self.task_idx(task))
         return metrics
+
+    def _rebuild_train_step(self):
+        """Fresh jit wrapper → fresh trace (module-level knobs like
+        VLPET_FFN_ROW_TILE are read at trace time)."""
+        if self.raw:
+            from vlpet_tpu.train.steps import make_raw_train_step
+
+            self.train_step = make_raw_train_step(self.model, self.tx,
+                                                  self.tasks)
+        else:
+            self.train_step = make_train_step(self.model, self.tx, self.tasks,
+                                              lambda_z=self.lambda_z)
 
     def train(self, train_loader, epochs: int, val_loaders=None,
               eval_every: int = 1, save_every: Optional[int] = None,
