@@ -81,6 +81,9 @@ VARIANTS = {
                         "_force_mode": "ltiled"},
     "video_preferlt": {"_video": True, "_prefer_ltiled": True},
     "video_perhead": {"_video": True, "_prefer_ltiled": False},
+    # fwd-only ltiled at T5's bias sites (bwd keeps perhead) — isolated
+    # fwd won 3.29 vs 3.77 ms; this decides the default
+    "t5_video_fwdlt": {"_video": True, "_t5": True, "_fwd_bias_lt": True},
     "t5_video_preferlt": {"_video": True, "_t5": True,
                           "_prefer_ltiled": True},
     "video704_preferlt": {"_video": 704, "_prefer_ltiled": True},
@@ -127,6 +130,14 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             return bench_variant(name, overrides, B)
         finally:
             att.PREFER_LTILED_OVER_PERHEAD = prev
+    if overrides.pop("_fwd_bias_lt", False):
+        import vlpet_tpu.ops.attention as att
+        prev = att.PREFER_LTILED_FWD_WITH_BIAS
+        att.PREFER_LTILED_FWD_WITH_BIAS = True
+        try:
+            return bench_variant(name, overrides, B)
+        finally:
+            att.PREFER_LTILED_FWD_WITH_BIAS = prev
     ffn_tb = overrides.pop("_ffn_tb", None)
     if ffn_tb is not None:
         # pin the fused-FFN row tile (the isolated probe methodology is

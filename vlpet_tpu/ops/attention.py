@@ -195,7 +195,14 @@ def _select_attention_mode(B: int, L: int, S: int, inner: int,
     # a fallback configuration, not a perf path). ltiled remains the
     # last resort for f32 shapes past the per-head ceiling, now under
     # the f32-calibrated block model.
-    if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and not has_bias
+    # Bias sites join the preference only in the FORWARD direction
+    # (need_bwd=False) and only when the flag below is on: the ltiled
+    # fwd measured faster than perhead for T5 bias shapes in isolation
+    # (3.29 vs 3.77 ms @ S=604 bf16) while its BACKWARD loses badly —
+    # the bwd dispatcher passes need_bwd=True and keeps perhead.
+    bias_pref_ok = (not has_bias
+                    or (PREFER_LTILED_FWD_WITH_BIAS and not need_bwd))
+    if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and bias_pref_ok
             and L >= 128 and io_bytes <= 2):
         return "ltiled"
     if perhead_ok:
@@ -219,6 +226,11 @@ FORCE_MODE: Optional[str] = None
 #: ceiling; the excluded cases (T5 per-head bias, short-query cross
 #: sites) measured worse under ltiled and keep the per-head kernels.
 PREFER_LTILED_OVER_PERHEAD: bool = True
+
+#: Extend the preference to BIAS sites in the forward direction only
+#: (T5 relative-position bias; the backward keeps perhead). A/B hook —
+#: default set from the e2e measurement in PERF.md.
+PREFER_LTILED_FWD_WITH_BIAS: bool = False
 
 
 def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
