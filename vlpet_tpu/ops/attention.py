@@ -228,8 +228,12 @@ FORCE_MODE: Optional[str] = None
 PREFER_LTILED_OVER_PERHEAD: bool = True
 
 #: Extend the preference to BIAS sites in the forward direction only
-#: (T5 relative-position bias; the backward keeps perhead). A/B hook —
-#: default set from the e2e measurement in PERF.md.
+#: (T5 relative-position bias; the backward keeps perhead). MEASURED AND
+#: REJECTED as the default (same-session e2e A/B, 2026-08-19:
+#: t5_video_fwdlt 194.4 vs t5_video_base 197.1 ex/s — the isolated
+#: kernel's fwd win, 3.29 vs 3.77 ms, is offset e2e by the L-padding and
+#: per-program bias-block loads the ltiled layout adds). Kept as a knob
+#: for future toolchains.
 PREFER_LTILED_FWD_WITH_BIAS: bool = False
 
 
