@@ -129,3 +129,73 @@ class TestMergeUnmerge:
         np.testing.assert_allclose(np.asarray(back["base"]["kernel"]),
                                    np.asarray(params["base"]["kernel"]),
                                    rtol=1e-5, atol=1e-6)
+
+
+class TestPerTaskLoRARouting:
+    def test_model_routes_lora_by_task(self):
+        """Per-task LoRA (reference scripts/image-text/lora.sh — no
+        --use_single_lora) must route q/v deltas by the batch's task: the
+        reference's LoRALinearController takes `task` at every call
+        (src/lora/controller.py:56). Before r5 the model called LoRADense
+        without task_idx, silently using task 0's A/B for every task."""
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        from vlpet_tpu.config import (BartConfig, PetConfig, VLModelConfig,
+                                      VisConfig)
+        from vlpet_tpu.models.vlbart import VLBart
+        from vlpet_tpu.pet.modules import PetContext
+
+        tasks = ("vqa", "gqa")
+        pet = PetConfig(tasks=tasks, use_lora=True, lora_dim=2,
+                        lora_alpha=8.0, use_single_lora=False)
+        cfg = VLModelConfig(
+            backbone=BartConfig(vocab_size=60, d_model=32, encoder_layers=1,
+                                decoder_layers=1, encoder_attention_heads=4,
+                                decoder_attention_heads=4, encoder_ffn_dim=64,
+                                decoder_ffn_dim=64,
+                                max_position_embeddings=32, dropout=0.0),
+            vis=VisConfig(feat_dim=16, n_boxes=4), pet=pet)
+        m = VLBart(cfg)
+        rng = np.random.default_rng(0)
+        kw = dict(
+            input_ids=jnp.asarray(rng.integers(3, 60, (2, 5)), jnp.int32),
+            attention_mask=jnp.ones((2, 5), jnp.int32),
+            vis_feats=jnp.asarray(rng.normal(size=(2, 4, 16)), jnp.float32),
+            boxes=jnp.asarray(rng.uniform(size=(2, 4, 4)), jnp.float32),
+            labels=jnp.asarray(rng.integers(3, 60, (2, 4)), jnp.int32))
+        params = m.init(jax.random.PRNGKey(0), **kw,
+                        ctx=PetContext())["params"]
+
+        # lora_B inits to zeros (delta = 0 → tasks indistinguishable);
+        # randomize every lora tensor so the routing is observable
+        def rand_lora(path, leaf):
+            name = jax.tree_util.keystr(path)
+            if "lora_A" in name or "lora_B" in name:
+                k = jax.random.fold_in(jax.random.PRNGKey(7), hash(name) % 2**30)
+                return jax.random.normal(k, leaf.shape, leaf.dtype) * 0.3
+            return leaf
+
+        params = jax.tree_util.tree_map_with_path(rand_lora, params)
+        out0 = m.apply({"params": params}, **kw,
+                       ctx=PetContext(task="vqa", task_idx=0))["logits"]
+        out1 = m.apply({"params": params}, **kw,
+                       ctx=PetContext(task="gqa", task_idx=1))["logits"]
+        assert float(jnp.abs(out0 - out1).max()) > 1e-4, \
+            "per-task LoRA produced identical outputs for different tasks"
+
+        # and the single-lora config shares one pair → identical by design
+        pet_s = dataclasses.replace(pet, use_single_lora=True)
+        cfg_s = dataclasses.replace(cfg, pet=pet_s)
+        ms = VLBart(cfg_s)
+        params_s = ms.init(jax.random.PRNGKey(0), **kw,
+                           ctx=PetContext())["params"]
+        params_s = jax.tree_util.tree_map_with_path(rand_lora, params_s)
+        s0 = ms.apply({"params": params_s}, **kw,
+                      ctx=PetContext(task="vqa", task_idx=0))["logits"]
+        s1 = ms.apply({"params": params_s}, **kw,
+                      ctx=PetContext(task="gqa", task_idx=1))["logits"]
+        np.testing.assert_array_equal(np.asarray(s0), np.asarray(s1))

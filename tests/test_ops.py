@@ -648,6 +648,53 @@ def test_fused_ffn_activation_dropout():
         F._INTERPRET = False
 
 
+def test_ffn_row_tile_pin_validation():
+    """VLPET_FFN_ROW_TILE pins are validated (advisor r4: a non-integer
+    crashed the trace; a non-power-of-two silently reintroduced the Mosaic
+    stack blow-up) and the scoped row_tile_override supersedes both the
+    model and the env var, restoring on exit."""
+    import os
+    import warnings
+
+    import pytest
+
+    import vlpet_tpu.ops.ffn as F
+
+    model_tb = F._row_tile(28000, 768, 3072)
+    assert model_tb in F._LEGAL_ROW_TILES
+
+    old = os.environ.pop("VLPET_FFN_ROW_TILE", None)
+    try:
+        for bad in ("abc", "80", "0", "-32", "1024", ""):
+            os.environ["VLPET_FFN_ROW_TILE"] = bad
+            if bad == "":
+                # empty string is falsy → model, no warning
+                assert F._row_tile(28000, 768, 3072) == model_tb
+                continue
+            with warnings.catch_warnings(record=True) as w:
+                warnings.simplefilter("always")
+                assert F._row_tile(28000, 768, 3072) == model_tb
+                assert any("VLPET_FFN_ROW_TILE" in str(x.message) for x in w)
+        os.environ["VLPET_FFN_ROW_TILE"] = "32"
+        assert F._row_tile(28000, 768, 3072) == 32
+        # scoped override wins over the env var and restores cleanly
+        with F.row_tile_override(64):
+            assert F._row_tile(28000, 768, 3072) == 64
+        assert F._row_tile(28000, 768, 3072) == 32
+        with pytest.raises(ValueError):
+            with F.row_tile_override(80):
+                pass
+        # None override = explicit "use the model/env" (the trainer's
+        # default-path wrapper runs under this)
+        with F.row_tile_override(None):
+            assert F._row_tile(28000, 768, 3072) == 32
+    finally:
+        if old is None:
+            os.environ.pop("VLPET_FFN_ROW_TILE", None)
+        else:
+            os.environ["VLPET_FFN_ROW_TILE"] = old
+
+
 def test_fused_ffn_bias_cotangents():
     """Advisor r2 (high): fc biases are trainable under LoRA /
     unfreeze_*bias recipes while weight matrices stay frozen — the kernel
@@ -1065,6 +1112,25 @@ def test_ltiled_attention_matches_reference():
     want_h = fused_attention_reference(q, k, v, mask_h, H)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
                                rtol=2e-5, atol=2e-5)
+
+    # per-head LENGTH-COLLAPSED mask (B, H, 1, S) — the documented mask
+    # contract's remaining corner (advisor r4: the compact fast path is
+    # Hm==1-only, so this shape must broadcast to full rows instead of
+    # building an out-of-bounds (1, H, block_l, S) spec over a dim of 1)
+    mask_h1 = compact + jax.random.normal(ks[4], (1, H, 1, S), jnp.float32)
+    got_h1 = _pallas_attention_ltiled(q, k, v, mask_h1, H, block_l=8,
+                                      interpret=True)
+    want_h1 = fused_attention_reference(
+        q, k, v, jnp.broadcast_to(mask_h1, (B, H, L, S)), H)
+    np.testing.assert_allclose(np.asarray(got_h1), np.asarray(want_h1),
+                               rtol=2e-5, atol=2e-5)
+    dq1, dk1, dv1 = _pallas_attention_ltiled_bwd(
+        q, k, v, mask_h1, do, H, block_l=8, interpret=True)
+    _, vjp1 = jax.vjp(lambda q_, k_, v_: fused_attention_reference(
+        q_, k_, v_, jnp.broadcast_to(mask_h1, (B, H, L, S)), H), q, k, v)
+    for g, w in zip((dq1, dk1, dv1), vjp1(do)):
+        np.testing.assert_allclose(np.asarray(g), np.asarray(w),
+                                   rtol=2e-4, atol=2e-4)
 
     # causal self-attention (L == S) on a compact mask — prefix offset 0
     qs = jax.random.normal(ks[5], (B, S, inner), jnp.float32)

@@ -232,23 +232,31 @@ def test_classifier_head_t5():
 
 
 def test_scoped_vmem_auto_retry():
-    """Trainer.do_train_step retries ONCE with VLPET_FFN_ROW_TILE=32 and a
-    re-traced step when the compile fails on Mosaic scoped vmem (the
-    graph-context-dependent FFN stack blow-up — PERF.md r4 'Toolchain
-    drift'). Simulated by a step fn that raises the vmem error on its
-    first call; unrelated errors must propagate untouched."""
+    """Trainer.do_train_step retries a scoped-vmem COMPILE failure once on
+    a small-tile wrapper (graph-context-dependent FFN stack blow-up —
+    PERF.md r4 'Toolchain drift'). Advisor-r4 semantics: the override is
+    SCOPED per (task, shapes) signature (no process-global env mutation;
+    healthy signatures keep the modeled tile), an opaque remote-compile 500
+    is only trusted after the helper passes a health check, and a failure
+    on a signature that already executed propagates (the donated state may
+    be consumed)."""
     import os
 
+    import vlpet_tpu.ops.ffn as ffn_mod
     from vlpet_tpu.data.datasets import (DatasetConfig, Loader, TaskDataset,
                                          synthetic_task_data)
     from vlpet_tpu.data.tokenization import WhitespaceTokenizer
-    from vlpet_tpu.train.trainer import Trainer, _is_scoped_vmem_oom
+    from vlpet_tpu.train.trainer import (Trainer, _is_direct_vmem_oom,
+                                         _is_opaque_remote_500,
+                                         _remote_compile_healthy)
 
-    assert _is_scoped_vmem_oom(RuntimeError(
+    assert _is_direct_vmem_oom(RuntimeError(
         "INTERNAL: Ran out of memory in memory space vmem while ..."))
-    assert _is_scoped_vmem_oom(RuntimeError(
+    assert _is_opaque_remote_500(RuntimeError(
         "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500: ..."))
-    assert not _is_scoped_vmem_oom(RuntimeError("Ran out of memory in hbm"))
+    assert not _is_direct_vmem_oom(RuntimeError("Ran out of memory in hbm"))
+    assert not _is_opaque_remote_500(RuntimeError("Ran out of memory in hbm"))
+    assert _remote_compile_healthy(timeout_s=60.0)  # CPU backend: healthy
 
     cfg = VLModelConfig(
         backbone=BartConfig(vocab_size=60, d_model=32, encoder_layers=1,
@@ -270,22 +278,68 @@ def test_scoped_vmem_auto_retry():
 
     real_step = trainer.train_step
     calls = {"n": 0}
+    seen_tiles = []
 
     def failing_once(*a, **kw):
         calls["n"] += 1
         raise RuntimeError("Ran out of memory in memory space vmem while "
                            "allocating on stack for %ffn")
 
+    def recording_small(*a, **kw):
+        seen_tiles.append(ffn_mod._ROW_TILE_OVERRIDE)
+        return real_step(*a, **kw)
+
     trainer.train_step = failing_once
+    trainer._small_step = recording_small
     try:
         m = trainer.do_train_step(batch)
-        # first call raised; the retry rebuilt a REAL step and succeeded
+        # first call raised; the retry ran on the small-tile wrapper with
+        # the SCOPED override active at call (-> trace) time
         assert calls["n"] == 1
         assert np.isfinite(float(m["loss"]))
-        assert os.environ.get("VLPET_FFN_ROW_TILE") == "32"
-        assert trainer.train_step is not failing_once  # re-traced
+        assert seen_tiles == [32]
+        # scoped: no process-global leak, default wrapper untouched
+        assert "VLPET_FFN_ROW_TILE" not in os.environ
+        assert ffn_mod._ROW_TILE_OVERRIDE is None
+        assert trainer.train_step is failing_once
+        # the signature is pinned: the next step goes straight to the
+        # small wrapper without touching the (still-failing) default
+        m2 = trainer.do_train_step(batch)
+        assert calls["n"] == 1 and np.isfinite(float(m2["loss"]))
+        assert seen_tiles == [32, 32]
     finally:
-        os.environ.pop("VLPET_FFN_ROW_TILE", None)
+        trainer.train_step = real_step
+        trainer._small_step = None
+        trainer._small_tile_sigs.clear()
+
+    # a vmem-looking error on a signature that ALREADY executed must
+    # propagate — the donated state may be consumed (advisor r4 low)
+    assert trainer._ok_sigs
+    trainer.train_step = failing_once
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="vmem"):
+            trainer.do_train_step(batch)
+    finally:
+        trainer.train_step = real_step
+
+    # an opaque remote-compile 500 with a WEDGED helper must not retry
+    trainer._ok_sigs.clear()
+
+    def failing_500(*a, **kw):
+        raise RuntimeError(
+            "INTERNAL: http://127.0.0.1:8113/remote_compile: HTTP 500")
+
+    import vlpet_tpu.train.trainer as trainer_mod
+    trainer.train_step = failing_500
+    orig_health = trainer_mod._remote_compile_healthy
+    trainer_mod._remote_compile_healthy = lambda *a, **kw: False
+    try:
+        import pytest as _pytest
+        with _pytest.raises(RuntimeError, match="wedged"):
+            trainer.do_train_step(batch)
+    finally:
+        trainer_mod._remote_compile_healthy = orig_health
         trainer.train_step = real_step
 
     # unrelated errors propagate

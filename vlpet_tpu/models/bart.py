@@ -280,7 +280,28 @@ class BartAttention(nn.Module):
         q, k, v = jnp.split(y.reshape(lead + (3 * self.embed_dim,)), 3, axis=-1)
         return self._shape(q * self.scaling), self._shape(k), self._shape(v)
 
-    def compute_cross_kv(self, kv_states: Array, ctx: PetContext) -> Tuple[Array, Array]:
+    def _proj(self, mod, h: Array, ctx: PetContext,
+              deterministic: bool = True) -> Array:
+        """Apply a q/v projection, routing LoRA by task. The reference's
+        LoRALinearController takes the task at every call
+        (src/lora/controller.py:56); without this, a multi-task per-task
+        LoRA config (reference scripts/image-text/lora.sh — no
+        --use_single_lora) would silently use task 0's A/B everywhere."""
+        if isinstance(mod, LoRADense):
+            return mod(h, ctx.task_idx, deterministic=deterministic)
+        return mod(h)
+
+    def compute_self_kv(self, hidden_states: Array,
+                        ctx: PetContext) -> Tuple[Array, Array]:
+        """Teacher-forcing-path self-attention K/V in (B, S, H, Dh) — value
+        hooks never fire on self-attention (reference quirk, see class
+        docstring). Used by the decoder-prompt cache prefill."""
+        k = self._shape(self.k_proj(hidden_states))
+        v = self._shape(self._proj(self.v_proj, hidden_states, ctx))
+        return k, v
+
+    def compute_cross_kv(self, kv_states: Array, ctx: PetContext,
+                         deterministic: bool = True) -> Tuple[Array, Array]:
         """Projection + hooks for cross-attention K/V, in (B, S, H, Dh).
 
         Hook math per the reference (:419-479): VPA is a parallel adapter on
@@ -291,7 +312,7 @@ class BartAttention(nn.Module):
         k = self.k_proj(kv_states)
         if self.kpa is not None:
             k = self.kpa(kv_states, ctx, y=k)
-        v = self.v_proj(kv_states)
+        v = self._proj(self.v_proj, kv_states, ctx, deterministic)
         if self.vpa is not None:
             v = self.vpa(kv_states, ctx, y=v)
         elif self.seq_va is not None:
@@ -393,9 +414,10 @@ class BartAttention(nn.Module):
         fuse_qkv = self.role != "cross" and isinstance(self.q_proj, TaskDense)
         new_cache = cache
         if self.role == "cross":
-            q = self._shape(self.q_proj(hidden_states) * self.scaling)
+            q = self._shape(self._proj(self.q_proj, hidden_states, ctx,
+                                       deterministic) * self.scaling)
             if cross_kv is None:
-                k, v = self.compute_cross_kv(kv_states, ctx)
+                k, v = self.compute_cross_kv(kv_states, ctx, deterministic)
             else:
                 k, v = cross_kv
             if k.shape[0] != q.shape[0]:
@@ -411,9 +433,11 @@ class BartAttention(nn.Module):
             if fuse_qkv:
                 q, k_new, v_new = self._qkv_fused(hidden_states)
             else:
-                q = self._shape(self.q_proj(hidden_states) * self.scaling)
+                q = self._shape(self._proj(self.q_proj, hidden_states, ctx,
+                                           deterministic) * self.scaling)
                 k_new = self._shape(self.k_proj(hidden_states))
-                v_new = self._shape(self.v_proj(hidden_states))
+                v_new = self._shape(self._proj(self.v_proj, hidden_states,
+                                               ctx, deterministic))
             from vlpet_tpu.ops.decode import (beam_decode_attend,
                                               beam_decode_attend_update,
                                               decode_attend)
@@ -451,9 +475,11 @@ class BartAttention(nn.Module):
             if fuse_qkv:
                 q, k, v = self._qkv_fused(hidden_states)
             else:
-                q = self._shape(self.q_proj(hidden_states) * self.scaling)
+                q = self._shape(self._proj(self.q_proj, hidden_states, ctx,
+                                           deterministic) * self.scaling)
                 k = self._shape(self.k_proj(hidden_states))
-                v = self._shape(self.v_proj(hidden_states))
+                v = self._shape(self._proj(self.v_proj, hidden_states, ctx,
+                                           deterministic))
             if prefix_kv is not None:
                 k = jnp.concatenate([prefix_kv[0].astype(k.dtype), k], axis=1)
                 v = jnp.concatenate([prefix_kv[1].astype(v.dtype), v], axis=1)
@@ -748,7 +774,8 @@ class BartDecoderLayer(nn.Module):
                  prefix_kv: Optional[Tuple[Array, Array]] = None,
                  beam_sel: Optional[Array] = None,
                  beam_fused: bool = False,
-                 deterministic: bool = True):
+                 deterministic: bool = True,
+                 prompt_len: int = 0):
         c = self.cfg
         p = c.pet
         b = c.backbone
@@ -797,8 +824,18 @@ class BartDecoderLayer(nn.Module):
             if (self.adapter_hypernet is not None and block is not None
                     and p.add_adapter_cross_attn):
                 h = self.adapter_hypernet(h, block.cross_attention)
-            hidden_states = self.encoder_attn_layer_norm(h, residual,
-                                                         deterministic)
+            crossed = self.encoder_attn_layer_norm(h, residual,
+                                                   deterministic)
+            if prompt_len > 0 and decode_pos is None:
+                # decoder input-prompt rows come from the reference's dry
+                # decoder run WITHOUT encoder states (modeling_bart.py:
+                # 1421-1424): the whole cross block — including its
+                # LayerNorm — never touches them. Restore the pre-cross
+                # hidden states on those rows so the single-pass concat
+                # matches the dry-run semantics exactly.
+                row = jnp.arange(crossed.shape[1])[None, :, None]
+                crossed = jnp.where(row < prompt_len, residual, crossed)
+            hidden_states = crossed
 
         # --- feed-forward ----------------------------------------------------------
         residual = hidden_states
@@ -1060,7 +1097,8 @@ class BartDecoder(nn.Module):
         if c.remat != "none":
             # deterministic (positional idx 11, module at 0) is static
             layer_cls = nn.remat(BartDecoderLayer, policy=remat_policy(c.remat),
-                                 static_argnums=(11, 12))  # beam_fused, deterministic
+                                 # beam_fused, deterministic, prompt_len
+                                 static_argnums=(11, 12, 13))
         self.scan_ok = (c.scan_layers and not p.use_hyperformer
                         and not (p.use_attn_prefix and p.decoder_prompt_len > 0))
         if self.scan_ok:
@@ -1227,11 +1265,11 @@ class BartDecoder(nn.Module):
 
             def body(layer, carry, _):
                 # full positional form (incl. beam_fused=False) so nn.remat's
-                # static_argnums (11, 12) line up with the loop path's
+                # static_argnums (11, 12, 13) line up with the loop path's
                 out, _lc = layer(carry, ctx.for_layer(None),
                                  encoder_hidden_states, self_mask, cross_mask,
                                  None, None, None, None, None, False,
-                                 deterministic)
+                                 deterministic, P_in)
                 return out, None
 
             scan = nn.scan(body, variable_axes={"params": 0},
@@ -1259,7 +1297,8 @@ class BartDecoder(nn.Module):
                 prefix_kvs[i] if prefix_kvs is not None else None,
                 beam_sel,
                 beam_fused,
-                deterministic)
+                deterministic,
+                P_in)
             new_cache.append(layer_cache)
         if P_in:
             h = h[:, P_in:]
@@ -1273,6 +1312,38 @@ class BartDecoder(nn.Module):
         if not (c.pet.use_attn_prefix and c.pet.decoder_prompt_len > 0):
             return None
         return self.decoder_prefix_embedding(batch_size)
+
+    def compute_prompt_kvs(self, batch_size: int, ctx: PetContext,
+                           task_embedding: Optional[Array] = None):
+        """Per-layer self-attn K/V of the decoder INPUT-prompt rows —
+        the reference's dry decoder run (modeling_bart.py:1421-1424)
+        distilled to the past_key_values it produces: prompt embeds +
+        positions 0..P-1 through every layer WITHOUT its cross block
+        (no encoder states in the dry run). Returns ((k, v) per layer),
+        each (B, P, H, Dh) — generation prefills cache[:P] with these and
+        decodes from position P."""
+        c = self.cfg
+        b = c.backbone
+        dt = self._dtype
+        if self.prompt_modules is None:
+            return None
+        ctx = ctx or PetContext()
+        prompt = self.prompt_modules(batch_size, ctx.task_idx).astype(dt)
+        P = prompt.shape[1]
+        h = prompt + self.embed_positions[2:2 + P].astype(dt)[None]
+        h = self.layernorm_embedding(h)
+        kvs = []
+        for i, layer in enumerate(self.layers):
+            block = (self.adapter_layers_hyper_net(task_embedding, i)
+                     if (self.adapter_layers_hyper_net is not None
+                         and task_embedding is not None) else None)
+            lctx = ctx.for_layer(block)
+            kvs.append(layer.self_attn.compute_self_kv(h, lctx))
+            # run the layer body (no encoder states → cross block skipped,
+            # exactly like the dry run) to produce the next layer's input
+            h, _ = layer(h, lctx, None, None, None, None, None, None, None,
+                         None, False, True, 0)
+        return tuple(kvs)
 
     def compute_cross_kvs(self, encoder_hidden_states: Array, ctx: PetContext):
         """Precompute per-layer cross-attention K/V (VPA included) once per

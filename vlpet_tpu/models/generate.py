@@ -301,6 +301,14 @@ def seq2seq_generate(model, variables, *, input_ids, attention_mask,
         P = cfg.pet.decoder_prompt_len
         prefix_kvs = model.apply(variables, n,
                                  method=type(model).init_decoder_prefix)
+    elif cfg.pet.decoder_prompt_len > 0:
+        # decoder INPUT-prompt tuning: the reference's first decode step
+        # materializes the prompt as past_key_values via a dry decoder run
+        # (modeling_bart.py:1421-1424); here the dry-run KV prefill the
+        # cache once and decoding starts at position P
+        P = cfg.pet.decoder_prompt_len
+        prefix_kvs = model.apply(variables, n, ctx,
+                                 method=type(model).init_decoder_prompt)
     cache = init_self_cache(cfg, n, max_length + P, dtype)
     if prefix_kvs is not None:
         # prefix kvs come (B, P, H, Dh); cache is time-major (L, B, H*Dh)

@@ -513,7 +513,8 @@ class T5Block(nn.Module):
                  beam_sel: Optional[Array] = None,
                  beam_fused: bool = False,
                  deterministic: bool = True,
-                 pad_mask: Optional[Array] = None):
+                 pad_mask: Optional[Array] = None,
+                 prompt_len: int = 0):
         block = ctx.block_adapters
         # --- self-attention ------------------------------------------------
         x = hidden_states
@@ -547,7 +548,15 @@ class T5Block(nn.Module):
             if (self.adapter_hypernet is not None and block is not None
                     and self.cfg.pet.add_adapter_cross_attn):
                 y = self.adapter_hypernet(y, block.cross_attention)
-            hidden_states = x + self._res_drop(y, deterministic)
+            crossed = x + self._res_drop(y, deterministic)
+            if prompt_len > 0 and decode_pos is None:
+                # decoder input-prompt rows come from the reference's dry
+                # decoder run WITHOUT encoder states (modeling_t5.py:
+                # 642-645): the cross block never touches them — restore
+                # the pre-cross hidden states on those rows
+                row = jnp.arange(crossed.shape[1])[None, :, None]
+                crossed = jnp.where(row < prompt_len, x, crossed)
+            hidden_states = crossed
 
         # --- feed-forward ----------------------------------------------------
         x = hidden_states
@@ -714,6 +723,18 @@ class T5Decoder(nn.Module):
         self.final_layer_norm = nn.RMSNorm(epsilon=b.layer_norm_epsilon,
                                            dtype=self._dtype,
                                            name="final_layer_norm")
+        # decoder input-prompt tuning (reference: VLT5's dry decoder run at
+        # src/modeling_t5.py:642-645 → past_key_values); realized here as a
+        # single-pass concat whose prompt rows skip the cross block
+        self.prompt_modules = None
+        if c.pet.decoder_prompt_len > 0:
+            spec = PromptSpec(prompt_len=c.pet.decoder_prompt_len,
+                              mid_dim=c.pet.mid_dim,
+                              use_single_prompt=c.pet.use_single_prompt,
+                              tasks=c.pet.tasks)
+            self.prompt_modules = PromptController(
+                spec, b.d_model, init_std=None, dtype=self._dtype,
+                name="prompt_modules")
         self.adapter_layers_hyper_net = None
         if p.use_hyperformer:
             hspec = HyperformerSpec(
@@ -740,6 +761,15 @@ class T5Decoder(nn.Module):
         ctx = ctx or PetContext()
         B, T = input_ids.shape
         h = jnp.take(shared_embedding, input_ids, axis=0).astype(dt)
+        P_in = 0
+        if self.prompt_modules is not None and decode_pos is None:
+            # prompt rows ride positions 0..P-1 of the concat sequence —
+            # T5's relative bias over the concat length reproduces the
+            # reference's dry-run(0..P-1) + real-run(P..) positions exactly
+            prompt = self.prompt_modules(B, ctx.task_idx).astype(dt)
+            P_in = prompt.shape[1]
+            h = jnp.concatenate([prompt, h], axis=1)
+            T = T + P_in
         h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
                                 deterministic)
 
@@ -796,8 +826,11 @@ class T5Decoder(nn.Module):
                                  cache=cache[i] if cache is not None else None,
                                  decode_pos=decode_pos, beam_sel=beam_sel,
                                  beam_fused=beam_fused,
-                                 deterministic=deterministic)
+                                 deterministic=deterministic,
+                                 prompt_len=P_in)
             new_cache.append(layer_cache)
+        if P_in:
+            h = h[:, P_in:]
         h = self.final_layer_norm(h)
         h = module_hash_dropout(self, h, self.cfg.backbone.dropout_rate,
                                 deterministic)
@@ -806,6 +839,38 @@ class T5Decoder(nn.Module):
     def compute_cross_kvs(self, encoder_hidden_states, ctx: PetContext):
         return tuple(blk.cross_attn.compute_cross_kv(encoder_hidden_states, ctx)
                      for blk in self.blocks)
+
+    def compute_prompt_kvs(self, batch_size: int, ctx: PetContext,
+                           task_embedding=None):
+        """Per-layer self-attn K/V of the decoder INPUT-prompt rows — the
+        intended semantics of the reference's dry decoder run
+        (modeling_t5.py:642-645; dead code there, see
+        test_t5_prompt_tuning_model_parity): prompt embeds through every
+        block WITHOUT its cross section. Returns ((k, v) per layer), each
+        (B, P, H, Dh); generation prefills cache[:P] and decodes from P."""
+        c = self.cfg
+        dt = self._dtype
+        if self.prompt_modules is None:
+            return None
+        ctx = ctx or PetContext()
+        prompt = self.prompt_modules(batch_size, ctx.task_idx).astype(dt)
+        P = prompt.shape[1]
+        h = prompt
+        causal = jnp.where(
+            jnp.arange(P)[None, :] <= jnp.arange(P)[:, None], 0.0,
+            NEG_INF).astype(dt)[None, None]
+        self_bias = self.blocks[0].self_attn.compute_bias(P, P) + causal
+        kvs = []
+        for i, blk in enumerate(self.blocks):
+            block_w = (self.adapter_layers_hyper_net(task_embedding, i)
+                       if (self.adapter_layers_hyper_net is not None
+                           and task_embedding is not None) else None)
+            lctx = ctx.for_layer(block_w)
+            # T5 self-attn projects the PRE-normed block input
+            kvs.append(blk.self_attn.compute_cross_kv(
+                blk.self_attn_layer_norm(h), lctx))
+            h, _ = blk(h, lctx, position_bias=self_bias, deterministic=True)
+        return tuple(kvs)
 
 
 class VLT5Model(nn.Module):
@@ -1017,6 +1082,13 @@ class VLT5(nn.Module):
     def init_decode(self, encoder_hidden_states, ctx: PetContext = None):
         ctx = self._ctx(ctx)
         return self.model.compute_cross_kvs(encoder_hidden_states, ctx)
+
+    def init_decoder_prompt(self, batch_size: int, ctx: PetContext = None):
+        """Per-layer self-attn KV of the decoder INPUT-prompt rows for
+        generation cache prefill (see T5Decoder.compute_prompt_kvs)."""
+        ctx = self._ctx(ctx)
+        return self.model.decoder.compute_prompt_kvs(
+            batch_size, ctx, self.model._task_embedding(ctx))
 
     def decode_step(self, decoder_input_ids, joint_mask, cross_kvs, cache,
                     decode_pos, ctx: PetContext = None, beam_anc=None):

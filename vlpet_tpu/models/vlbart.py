@@ -303,6 +303,14 @@ class VLBart(nn.Module):
         """Per-layer decoder self-attn KV prefixes for cache prefill."""
         return self.model.decoder.prefix_cache_init(batch_size, 0)
 
+    def init_decoder_prompt(self, batch_size: int, ctx: PetContext = None):
+        """Per-layer self-attn KV of the decoder INPUT-prompt rows (the
+        reference's dry-run past_key_values, modeling_bart.py:1421-1424)
+        for generation cache prefill."""
+        ctx = ctx or PetContext()
+        return self.model.decoder.compute_prompt_kvs(
+            batch_size, ctx, self.model._task_embedding(ctx))
+
     def classify(self, input_ids, attention_mask, vis_feats=None, boxes=None,
                  img_order_ids=None, obj_order_ids=None, ctx: PetContext = None,
                  deterministic: bool = True):

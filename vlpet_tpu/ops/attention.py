@@ -694,7 +694,15 @@ def _lt_prepare(q, mask, bias, do, num_heads, block_l):
     Lp = -(-L // block_l) * block_l
     q = _lt_pad_rows(q, Lp)
     do = _lt_pad_rows(do, Lp)
-    if mask.shape[2] not in (1, Lp):  # dense (B|1, 1|H, L, S) mask
+    if mask.shape[2] == 1 and mask.shape[1] > 1:
+        # per-head length-collapsed (B|1, H, 1, S): the compact fast path
+        # is Hm==1-only, and the dense spec below indexes the row dim with
+        # the row-block id — a dim-2 extent of 1 would be an out-of-bounds
+        # block (advisor r4). Broadcast to full Lp rows; no current call
+        # site produces this shape (T5 per-head terms ride the bias arg),
+        # so the materialization cost never occurs in practice.
+        mask = jnp.broadcast_to(mask, mask.shape[:2] + (Lp, mask.shape[3]))
+    elif mask.shape[2] not in (1, Lp):  # dense (B|1, 1|H, L, S) mask
         mask = jnp.pad(mask, ((0, 0), (0, 0), (0, Lp - mask.shape[2]), (0, 0)))
     if bias is not None and bias.shape[2] != Lp:
         bias = jnp.pad(bias, ((0, 0), (0, 0), (0, Lp - bias.shape[2]),

@@ -28,6 +28,7 @@ Reference behavior: my_transformers/modeling_bart.py:1122-1388 fc1/fc2.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 import math
 from typing import Optional
@@ -86,6 +87,47 @@ def _act_grad(h, kind: str):
     return (h > 0.0).astype(h.dtype)
 
 
+_LEGAL_ROW_TILES = (8, 16, 32, 64, 128, 256, 512)
+_ROW_TILE_OVERRIDE: Optional[int] = None
+
+
+def _validate_row_tile(value) -> Optional[int]:
+    """Parse a pinned row tile; warn and return None on anything outside
+    the hardware-probed power-of-two set."""
+    import warnings
+
+    try:
+        tb = int(value)
+    except (TypeError, ValueError):
+        tb = -1
+    if tb in _LEGAL_ROW_TILES:
+        return tb
+    warnings.warn(
+        f"VLPET_FFN_ROW_TILE={value!r} is invalid (must be one of "
+        f"{_LEGAL_ROW_TILES} — non-power-of-two tiles blow the Mosaic "
+        "scoped-vmem stack); falling back to the VMEM model.")
+    return None
+
+
+@contextlib.contextmanager
+def row_tile_override(tb: Optional[int]):
+    """Scoped row-tile pin, read by ``_row_tile`` at TRACE time.
+
+    The Trainer's scoped-vmem auto-retry uses this instead of mutating
+    os.environ process-globally (advisor r4: a permanent env-var pin
+    degraded every later trace, including flagship shapes where tile 128
+    is measured optimal, and leaked into other Trainer instances)."""
+    global _ROW_TILE_OVERRIDE
+    if tb is not None and tb not in _LEGAL_ROW_TILES:
+        raise ValueError(f"row tile {tb!r} not in {_LEGAL_ROW_TILES}")
+    prev = _ROW_TILE_OVERRIDE
+    _ROW_TILE_OVERRIDE = tb
+    try:
+        yield
+    finally:
+        _ROW_TILE_OVERRIDE = prev
+
+
 def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0,
               n_w: int = 2, hid_f32: int = 1) -> int:
     """Largest row tile whose VMEM residency (weights + x/h/y tiles) fits.
@@ -108,12 +150,20 @@ def _row_tile(n: int, d: int, f: int, budget_mb: float = 13.0,
     at 169.4 ex/s — 9% above the best alternative. On self-managed TPU
     VMs, raising the limit itself (LIBTPU_INIT_ARGS
     --xla_tpu_scoped_vmem_limit_kib) is the cleaner lever; the tunneled
-    terminal here pins LIBTPU_INIT_ARGS, so the tile override stands in."""
+    terminal here pins LIBTPU_INIT_ARGS, so the tile override stands in.
+
+    Pinned values are validated: only the probed power-of-two set is
+    accepted — a non-power-of-two pin would silently reintroduce the
+    Mosaic stack blow-up above, and a non-integer would crash the trace."""
     import os
 
+    if _ROW_TILE_OVERRIDE is not None:
+        return _ROW_TILE_OVERRIDE
     pinned = os.environ.get("VLPET_FFN_ROW_TILE")
     if pinned:
-        return int(pinned)
+        tb = _validate_row_tile(pinned)
+        if tb is not None:
+            return tb
     weights = 2 * n_w * d * f  # bf16
     for tb in (512, 256, 128, 64, 32, 16, 8):
         tile = tb * (d * 2 + f * 4 * hid_f32 + f * 2 + d * 4)

@@ -164,16 +164,16 @@ class AdapterLayersHyperNetController(nn.Module):
                                         name=f"{prefix}_up_sampler_hyper_net")(emb)
             dn = AdapterWeightGenerator(s, down, self.d_model, self.dtype,
                                         name=f"{prefix}_down_sampler_hyper_net")(emb)
-            out = AdapterWeights(up=up, down=dn)
+            pre = post = None
             if self.add_layer_norm_before_adapter:
                 w, b = LayerNormHyperNet(s, self.d_model,
                                          name=f"{prefix}_pre_layernorm_hypernet")(emb)
-                out.pre_norm = LayerNormWeights(w, b)
+                pre = LayerNormWeights(w, b)
             if self.add_layer_norm_after_adapter:
                 w, b = LayerNormHyperNet(s, self.d_model,
                                          name=f"{prefix}_post_layernorm_hypernet")(emb)
-                out.post_norm = LayerNormWeights(w, b)
-            return out
+                post = LayerNormWeights(w, b)
+            return AdapterWeights(up=up, down=dn, pre_norm=pre, post_norm=post)
 
         ff = gen("feed_forward")
         sa = gen("self_attention")
@@ -221,12 +221,12 @@ class AdapterLayersOneHyperNetController(nn.Module):
             return ln(emb) if ln is not None else emb
 
         def gen(emb: Array) -> AdapterWeights:
-            out = AdapterWeights(up=up_gen(emb), down=down_gen(emb))
-            if pre_ln_gen is not None:
-                out.pre_norm = LayerNormWeights(*pre_ln_gen(emb))
-            if post_ln_gen is not None:
-                out.post_norm = LayerNormWeights(*post_ln_gen(emb))
-            return out
+            pre = (LayerNormWeights(*pre_ln_gen(emb))
+                   if pre_ln_gen is not None else None)
+            post = (LayerNormWeights(*post_ln_gen(emb))
+                    if post_ln_gen is not None else None)
+            return AdapterWeights(up=up_gen(emb), down=down_gen(emb),
+                                  pre_norm=pre, post_norm=post)
 
         ff = gen(embed(0))
         sa = gen(embed(1))
