@@ -96,7 +96,16 @@ class TestCaptionMetrics:
             [["a cat on a mat", "a cat sits on the mat"], ["a bird in the sky"]])
         assert set(res) >= {"Bleu_1", "Bleu_4", "ROUGE_L", "METEOR", "CIDEr"}
         assert res["CIDEr"] > 5
-        assert res["METEOR"] > 0.8  # near-identity captions
+        # Meteor-1.5 rank-tuned scoring (gamma=0.6, beta=0.2): even a
+        # perfect single-chunk match pays ~0.42 fragmentation penalty —
+        # which is why published COCO METEOR sits near 0.27. Near-identity
+        # captions land ~0.55-0.6 under the tuned formula.
+        from vlpet_tpu.evalsuite.caption import meteor15
+        assert res["METEOR"] > 0.45
+        assert res["METEOR"] == pytest.approx(meteor15(
+            ["a cat on a mat", "a bird in the sky"],
+            [["a cat on a mat", "a cat sits on the mat"],
+             ["a bird in the sky"]]), abs=1e-12)
 
 
 class TestMeteor:

@@ -165,6 +165,9 @@ def build_loaders(args, tasks: Tuple[str, ...], tokenizer, split: str,
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host: must run before any backend-initializing jax call
+    from vlpet_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     tasks = tuple(t for t in args.tasks.split(",") if t) or ("vqa",)
     tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)
     cfg = build_model_config(args, tasks,

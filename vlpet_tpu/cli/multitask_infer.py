@@ -47,6 +47,9 @@ def dump_gates(trainer, loader, store_path: str):
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host: must run before any backend-initializing jax call
+    from vlpet_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     args.test_only = True
     tasks = tuple(t for t in args.tasks.split(",") if t) or ("vqa",)
     tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)

@@ -19,6 +19,9 @@ VIDEO_TASKS = ("tvqa", "how2qa", "tvc", "yc2c")
 
 def main(argv=None):
     args = parse_args(argv)
+    # multi-host: must run before any backend-initializing jax call
+    from vlpet_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     args.feat_dim = 512  # CLIP-ViT frame features (reference: :738)
     tasks = tuple(t for t in args.tasks.split(",") if t) or VIDEO_TASKS
     tokenizer, added = get_tokenizer(args.backbone, args.tokenizer_path)

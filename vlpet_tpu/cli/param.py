@@ -44,7 +44,13 @@ def parse_args(argv=None) -> argparse.Namespace:
     add("--multiGPU", action="store_const", default=False, const=True)
     add("--fp16", action="store_true")
     add("--bf16", action="store_true", help="bfloat16 compute (TPU-native)")
-    add("--distributed", action="store_true")
+    add("--distributed", action="store_true",
+        help="multi-host: jax.distributed.initialize() at entry "
+             "(parallel/multihost.py maybe_initialize_distributed)")
+    add("--coordinator_address", type=str, default=None,
+        help="multi-host coordinator host:port (else jax auto-detects)")
+    add("--num_processes", type=int, default=None)
+    add("--process_id", type=int, default=None)
     add("--num_workers", default=0, type=int)
     add("--local_rank", type=int, default=-1)
     add("--mesh_model_axis", type=int, default=1,

@@ -19,6 +19,9 @@ IMAGE_TASKS = ("vqa", "gqa", "nlvr", "caption")
 
 def main(task: str, argv=None):
     args = parse_args(argv)
+    # multi-host: must run before any backend-initializing jax call
+    from vlpet_tpu.parallel.multihost import maybe_initialize_distributed
+    maybe_initialize_distributed(args)
     args.tasks = task
     tasks = (task,)
     if task in VIDEO_QA_TASKS or task in VIDEO_CAP_TASKS:

@@ -235,30 +235,18 @@ def wordnet_synonyms(word: str) -> Optional[frozenset]:
         return None
 
 
-def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
-                  paraphrases=None):
-    """Greedy staged alignment: exact → Porter stem → synonym [→ phrase
-    paraphrase].
-
-    ``synonyms``: optional word → set-of-lemmas function (the Meteor
-    synonymy module; `wordnet_synonyms` when WordNet data is installed).
-    Two words synonym-match if either's set contains the other.
-
-    ``paraphrases``: optional phrase table for the Meteor paraphrase
-    stage — a callable (or dict .get) mapping a TUPLE of tokens to a set
-    of equivalent token tuples. After the unigram stages, unaligned hyp
-    spans (longest-first, up to 4 tokens) match unaligned ref spans that
-    appear in either direction of the table. Spans may differ in length
-    (Meteor's phrase matches do), so matches are counted per side.
-
-    Returns (m_h, m_r, chunks): matched word counts in the hypothesis
-    and the reference, and the number of maximal aligned runs that are
-    contiguous AND in order in both strings (the METEOR fragmentation
-    unit; a phrase match is one contiguous unit)."""
+def _meteor_align_spans(hyp: List[str], ref: List[str], synonyms=None,
+                        paraphrases=None):
+    """Staged greedy alignment returning spans WITH their match stage:
+    a sorted list of (h_start, h_len, r_start, r_len, stage) where stage
+    is 0=exact, 1=stem, 2=synonym, 3=paraphrase. `_meteor_align` keeps
+    the legacy (m_h, m_r, chunks) view; Meteor-1.5 scoring (meteor15)
+    needs the stage to apply the tuned per-stage match weights."""
     ref_used = [False] * len(ref)
     align = [-1] * len(hyp)
+    stage_of = [-1] * len(hyp)
 
-    def stage(h_tokens, r_tokens, match=None):
+    def stage(h_tokens, r_tokens, sidx, match=None):
         for i, ht in enumerate(h_tokens):
             if align[i] >= 0:
                 continue
@@ -268,11 +256,12 @@ def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
                 ok = (ht == rt) if match is None else match(ht, rt)
                 if ok:
                     align[i] = j
+                    stage_of[i] = sidx
                     ref_used[j] = True
                     break
 
-    stage(hyp, ref)
-    stage(_stems(hyp), _stems(ref))
+    stage(hyp, ref, 0)
+    stage(_stems(hyp), _stems(ref), 1)
     if synonyms is not None:
         def syn_match(a, b):
             if a == b:
@@ -281,10 +270,10 @@ def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
             sb = synonyms(b)
             return bool(sa and b in sa) or bool(sb and a in sb)
 
-        stage(hyp, ref, syn_match)
+        stage(hyp, ref, 2, syn_match)
 
-    # span pairs (h_start, h_len, r_start, r_len); unigram matches first
-    spans = [(i, 1, j, 1) for i, j in enumerate(align) if j >= 0]
+    spans = [(i, 1, j, 1, stage_of[i]) for i, j in enumerate(align)
+             if j >= 0]
 
     if paraphrases is not None:
         table = paraphrases.get if hasattr(paraphrases, "get") else paraphrases
@@ -313,7 +302,7 @@ def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
                         if not free_r(rs, rl):
                             continue
                         if pair_ok(hp, tuple(ref[rs:rs + rl])):
-                            spans.append((hs, hl, rs, rl))
+                            spans.append((hs, hl, rs, rl, 3))
                             for k in range(hs, hs + hl):
                                 align[k] = 10 ** 9  # consumed, no ref pos
                             for k in range(rs, rs + rl):
@@ -324,15 +313,44 @@ def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
                         break
 
     spans.sort()
+    return spans
+
+
+def _span_stats(spans):
+    """(m_h, m_r, chunks) from staged spans — the chunk is a maximal run
+    of spans contiguous AND in order in both strings."""
     m_h = sum(s[1] for s in spans)
     m_r = sum(s[3] for s in spans)
     chunks = 0
     prev = None
-    for hs, hl, rs, rl in spans:
+    for hs, hl, rs, rl, _ in spans:
         if prev is None or hs != prev[0] or rs != prev[1]:
             chunks += 1
         prev = (hs + hl, rs + rl)
     return m_h, m_r, chunks
+
+
+def _meteor_align(hyp: List[str], ref: List[str], synonyms=None,
+                  paraphrases=None):
+    """Greedy staged alignment: exact → Porter stem → synonym [→ phrase
+    paraphrase].
+
+    ``synonyms``: optional word → set-of-lemmas function (the Meteor
+    synonymy module; `wordnet_synonyms` when WordNet data is installed).
+    Two words synonym-match if either's set contains the other.
+
+    ``paraphrases``: optional phrase table for the Meteor paraphrase
+    stage — a callable (or dict .get) mapping a TUPLE of tokens to a set
+    of equivalent token tuples. After the unigram stages, unaligned hyp
+    spans (longest-first, up to 4 tokens) match unaligned ref spans that
+    appear in either direction of the table. Spans may differ in length
+    (Meteor's phrase matches do), so matches are counted per side.
+
+    Returns (m_h, m_r, chunks): matched word counts in the hypothesis
+    and the reference, and the number of maximal aligned runs that are
+    contiguous AND in order in both strings (the METEOR fragmentation
+    unit; a phrase match is one contiguous unit)."""
+    return _span_stats(_meteor_align_spans(hyp, ref, synonyms, paraphrases))
 
 
 def meteor(predicts: List[str], references: List[List[str]],
@@ -363,13 +381,12 @@ def meteor(predicts: List[str], references: List[List[str]],
     into this seam (or inject the whole jar via COCOCaptionEvaluator's
     ``external_scorers``).
 
-    Remaining deltas vs the reference's Java Meteor-1.5
-    (requirements.txt:14): no per-stage match weights (1.0/0.6/0.8/0.6)
-    and no function-word discounting — those parameters are deliberately
-    NOT approximated because they cannot be validated offline; scores
-    track but do not exactly equal the Java numbers. SPICE genuinely
-    requires the Java scene-graph pipeline and stays None (see
-    COCOCaptionEvaluator)."""
+    This is the CLASSIC (2005) formula, kept because it cross-validates
+    bit-for-bit against nltk; `meteor15` below implements the reference
+    jar's tuned Meteor-1.5 scoring (per-stage match weights, function-word
+    discount, rank-tuned alpha/beta/gamma) and is what
+    COCOCaptionEvaluator reports. SPICE genuinely requires the Java
+    scene-graph pipeline and stays None (see COCOCaptionEvaluator)."""
     if synonyms == "auto":
         synonyms = (wordnet_synonyms
                     if wordnet_synonyms("car") is not None else None)
@@ -407,6 +424,145 @@ def meteor(predicts: List[str], references: List[List[str]],
     return f * (1 - pen)
 
 
+# --- Meteor 1.5 tuned scoring (Denkowski & Lavie 2014) ----------------------
+
+#: Meteor-1.5 English defaults (the parameter set the reference's Java jar
+#: runs with — requirements.txt:14 `language_evaluation`, consumed at
+#: caption_clip_data.py:401-410): rank-task-tuned alpha/beta/gamma, the
+#: function-word weight delta, and per-stage match weights for
+#: exact/stem/synonym/paraphrase.
+METEOR15_EN = dict(alpha=0.85, beta=0.2, gamma=0.6, delta=0.75,
+                   weights=(1.0, 0.6, 0.8, 0.6))
+
+#: English function words for Meteor-1.5's content/function discounting.
+#: The jar derives its list as "words with relative frequency > 10^-3" in
+#: a large monolingual corpus (meteor-1.5/data/function/en.words); that
+#: file cannot be fetched in this environment, so this is the standard
+#: English closed-class reconstruction (articles, pronouns, prepositions,
+#: conjunctions, auxiliaries, common adverbial particles + punctuation —
+#: the populations that clear the frequency bar). Inject the jar's exact
+#: list via the ``function_words`` parameter for bit-parity.
+FUNCTION_WORDS_EN = frozenset("""
+a an the this that these those some any each every no all both either
+neither another other such same own
+i you he she it we they me him her us them my your his its our their
+mine yours hers ours theirs myself yourself himself herself itself
+ourselves yourselves themselves who whom whose which what
+be am is are was were been being
+have has had having do does did doing
+will would shall should can could may might must ought need dare
+not n't never also just only even still yet too very quite rather
+almost already always often sometimes usually again once twice there
+here now then soon
+and or but nor so for because although though while whereas if unless
+until since when whenever where wherever why how as than whether
+of in on at by with from to into onto upon about against between among
+through during before after above below under over up down out off
+across along around behind beside besides beyond despite except inside
+near outside past toward towards underneath within without per via
+'s 'll 're 've 'd 'm . , ! ? ; : ' " ( ) - --
+""".split())
+
+
+def _load_function_words(path: str) -> frozenset:
+    """Load a Meteor function-word file (one word per line) — the seam for
+    the jar's exact `data/function/en.words` list."""
+    with open(path, encoding="utf-8") as f:
+        return frozenset(w.strip() for w in f if w.strip())
+
+
+def meteor15(predicts: List[str], references: List[List[str]],
+             alpha: float = METEOR15_EN["alpha"],
+             beta: float = METEOR15_EN["beta"],
+             gamma: float = METEOR15_EN["gamma"],
+             delta: float = METEOR15_EN["delta"],
+             weights: Sequence[float] = METEOR15_EN["weights"],
+             synonyms="auto", paraphrases=None,
+             function_words=FUNCTION_WORDS_EN) -> float:
+    """Meteor 1.5 scoring (Denkowski & Lavie 2014, "Meteor Universal") —
+    the tuned formula the reference's Java jar applies:
+
+        P = Σᵢ wᵢ·(δ·mᵢ(h_c) + (1−δ)·mᵢ(h_f)) / (δ·|h_c| + (1−δ)·|h_f|)
+        R = same over the reference side
+        Fmean = P·R / (α·P + (1−α)·R)
+        Pen   = γ · (ch / m)^β,  m = (m_h + m_r)/2 (unweighted)
+        score = (1 − Pen) · Fmean
+
+    where mᵢ(h_c)/mᵢ(h_f) split stage-i matches into content/function
+    words (δ discounts function words) and wᵢ are the per-stage match
+    weights (exact/stem/synonym/paraphrase). English defaults are the
+    jar's rank-tuned METEOR15_EN set. Best reference per segment by
+    segment score; corpus score from aggregated sufficient statistics
+    (numerators/denominators/chunks/matches), as the jar aggregates.
+
+    Neutral parameters (δ=0.5, wᵢ=1) reduce this EXACTLY to the classic
+    `meteor` formula (pinned in tests/test_caption_crossval.py, which
+    cross-validates that classic scorer against nltk to 1e-12); the tuned
+    stage weights and penalty are additionally pinned by hand-computed
+    multi-stage goldens. Remaining deltas vs the jar: the greedy aligner
+    (the jar beam-searches alignments minimizing chunks) and the
+    reconstructed function-word list / absent paraphrase table (inject
+    both via the seams for bit-parity)."""
+    if synonyms == "auto":
+        synonyms = (wordnet_synonyms
+                    if wordnet_synonyms("car") is not None else None)
+    function_words = function_words or frozenset()
+
+    def wlen(tokens):
+        return sum(1 - delta if t in function_words else delta
+                   for t in tokens)
+
+    def wmatch(spans, tokens, side):
+        # side 0: hyp span (hs, hl); side 1: ref span (rs, rl)
+        total = 0.0
+        for hs, hl, rs, rl, st in spans:
+            s, ln = (hs, hl) if side == 0 else (rs, rl)
+            for k in range(s, s + ln):
+                t = tokens[k]
+                total += weights[st] * (1 - delta if t in function_words
+                                        else delta)
+        return total
+
+    twmh = twmr = twh = twr = 0.0   # weighted match / length sums
+    tmh = tmr = tch = 0.0           # unweighted (penalty) sums
+    for pred, refs in zip(predicts, references):
+        hyp_t = ptb_tokenize(pred)
+        best = None  # (score, stats tuple)
+        for ref in refs:
+            ref_t = ptb_tokenize(ref)
+            spans = _meteor_align_spans(hyp_t, ref_t, synonyms, paraphrases)
+            m_h, m_r, ch = _span_stats(spans)
+            wh, wr = wlen(hyp_t), wlen(ref_t)
+            if m_h == 0 or not hyp_t or not ref_t or wh == 0 or wr == 0:
+                cand = (0.0, (0.0, 0.0, wh, wr, 0, 0, 0))
+            else:
+                wmh = wmatch(spans, hyp_t, 0)
+                wmr = wmatch(spans, ref_t, 1)
+                p = wmh / wh
+                r = wmr / wr
+                f = (p * r / (alpha * p + (1 - alpha) * r)
+                     if (p + r) > 0 else 0.0)
+                pen = gamma * (ch / ((m_h + m_r) / 2)) ** beta
+                cand = ((1 - pen) * f, (wmh, wmr, wh, wr, m_h, m_r, ch))
+            if best is None or cand[0] > best[0]:
+                best = cand
+        wmh, wmr, wh, wr, m_h, m_r, ch = best[1]
+        twmh += wmh
+        twmr += wmr
+        twh += wh
+        twr += wr
+        tmh += m_h
+        tmr += m_r
+        tch += ch
+    if twmh == 0 or twmr == 0 or twh == 0 or twr == 0 or (tmh + tmr) == 0:
+        return 0.0
+    p = twmh / twh
+    r = twmr / twr
+    f = p * r / (alpha * p + (1 - alpha) * r)
+    pen = gamma * (tch / ((tmh + tmr) / 2)) ** beta
+    return f * (1 - pen)
+
+
 # ---------------------------------------------------------------------------
 # Evaluator facade
 # ---------------------------------------------------------------------------
@@ -429,8 +585,11 @@ class COCOCaptionEvaluator:
     BASIS = ("pure-Python coco-caption reimplementation; BLEU/ROUGE-L/METEOR "
              "cross-validated against nltk/sacrebleu/rouge_score "
              "(tests/test_caption_crossval.py), CIDEr-D hand-derived goldens; "
-             "METEOR lacks the Meteor-1.5 paraphrase stage; SPICE is None "
-             "unless an external scorer is injected")
+             "METEOR is Meteor-1.5 tuned en scoring (stage weights, "
+             "function-word discount, rank-tuned alpha/beta/gamma) over a "
+             "greedy aligner with a reconstructed function-word list; the "
+             "jar's exact word list/paraphrase table plug into meteor15's "
+             "seams; SPICE is None unless an external scorer is injected")
 
     def __init__(self, coco_types: Optional[List[str]] = None,
                  external_scorers: Optional[Dict[str, object]] = None):
@@ -451,7 +610,9 @@ class COCOCaptionEvaluator:
         if "CIDEr" in self.coco_types and "CIDEr" not in ext:
             results["CIDEr"] = cider_d(predicts, refs)
         if "METEOR" in self.coco_types and "METEOR" not in ext:
-            results["METEOR"] = meteor(predicts, refs)
+            # the reference's jar scores with the Meteor-1.5 tuned en
+            # parameters — this is that formula (see meteor15)
+            results["METEOR"] = meteor15(predicts, refs)
         if "SPICE" in self.coco_types and "SPICE" not in ext:
             # SPICE stance (4 of 5 coco metrics implemented): SPICE requires
             # the Stanford scene-graph parser — a Java pipeline with bundled
