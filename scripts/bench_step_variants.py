@@ -81,6 +81,12 @@ VARIANTS = {
                         "_force_mode": "ltiled"},
     "video_preferlt": {"_video": True, "_prefer_ltiled": True},
     "video_perhead": {"_video": True, "_prefer_ltiled": False},
+    # r5 (judge r4 #8): L-tiled at the SHORT-QUERY cross sites (decoder
+    # cross L=10 vs S=604 K/V) — kills the per-head K/V transposes behind
+    # the 17.5 ms/step formatting residual; blocks capped at the padded
+    # query length so the strip is 16 rows, not 128
+    "video_crosslt": {"_video": True, "_short_q_lt": True},
+    "t5_video_crosslt": {"_video": True, "_t5": True, "_short_q_lt": True},
     # fwd-only ltiled at T5's bias sites (bwd keeps perhead) — isolated
     # fwd won 3.29 vs 3.77 ms; this decides the default
     "t5_video_fwdlt": {"_video": True, "_t5": True, "_fwd_bias_lt": True},
@@ -130,6 +136,14 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             return bench_variant(name, overrides, B)
         finally:
             att.PREFER_LTILED_OVER_PERHEAD = prev
+    if overrides.pop("_short_q_lt", False):
+        import vlpet_tpu.ops.attention as att
+        prev = att.PREFER_LTILED_SHORT_Q
+        att.PREFER_LTILED_SHORT_Q = True
+        try:
+            return bench_variant(name, overrides, B)
+        finally:
+            att.PREFER_LTILED_SHORT_Q = prev
     if overrides.pop("_fwd_bias_lt", False):
         import vlpet_tpu.ops.attention as att
         prev = att.PREFER_LTILED_FWD_WITH_BIAS

@@ -5,19 +5,27 @@ Note: in this image a TPU plugin ('axon') overrides JAX_PLATFORMS, so the
 platform must be pinned via jax.config before any backend is initialized.
 """
 
+import os
+
 import jax
 
-jax.config.update("jax_platforms", "cpu")
-try:
-    jax.config.update("jax_num_cpu_devices", 8)
-except Exception:
-    import os
-    os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
-                               + " --xla_force_host_platform_device_count=8").strip()
+# Hardware lane: VLPET_TESTS_ON_TPU=1 skips the CPU pin so the
+# @hardware-marked tests (tests/test_tpu_hardware.py) run on the real chip:
+#   VLPET_TESTS_ON_TPU=1 python -m pytest tests/test_tpu_hardware.py -q
+# In the default (CPU) suite those tests self-skip.
+_ON_TPU = os.environ.get("VLPET_TESTS_ON_TPU") == "1"
 
-# Default matmul precision is bf16-style (TPU MXU semantics) — right for
-# production, wrong for golden-value parity tests. Pin fp32 under pytest.
-jax.config.update("jax_default_matmul_precision", "float32")
+if not _ON_TPU:
+    jax.config.update("jax_platforms", "cpu")
+    try:
+        jax.config.update("jax_num_cpu_devices", 8)
+    except Exception:
+        os.environ["XLA_FLAGS"] = (os.environ.get("XLA_FLAGS", "")
+                                   + " --xla_force_host_platform_device_count=8").strip()
+
+    # Default matmul precision is bf16-style (TPU MXU semantics) — right for
+    # production, wrong for golden-value parity tests. Pin fp32 under pytest.
+    jax.config.update("jax_default_matmul_precision", "float32")
 
 import numpy as np
 import pytest

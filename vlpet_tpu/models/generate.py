@@ -27,23 +27,51 @@ Array = jax.Array
 NEG_INF = -1.0e7
 
 
+#: Vocab-scale top-k strategy on TPU — bench/test hook
+#: (scripts/bench_beam.py --topk). All e2e numbers: flagship beam-5
+#: B=500, measured 2026-08-20 (PERF.md "Beam top-k exactness, r5"):
+#:   'approx' (default): approx_max_k(recall_target=0.99) — 1151 ex/s.
+#:     On jax 0.9.0 only 96.4% of rows recover the exact top-10 at the
+#:     flagship shape (the r3 "empirically exact" note was stale); the
+#:     0.99 per-element recall CONTRACT is regression-guarded on
+#:     hardware (tests/test_tpu_hardware.py, bench_beam recall print).
+#:   'exact_hier': hierarchical Pallas sweep + XLA extraction
+#:     (ops/topk.py topk_lse_hier) — EXACT torch.topk/lax.top_k
+#:     semantics at 1053 ex/s, the fastest exact option (+19% over
+#:     exact_xla). Flip here for bit-exact reference beam parity at
+#:     -8.5% decode throughput.
+#:   'exact_fused': the iterative k-pass kernel — exact, 920 ex/s.
+#:   'exact_xla': lax.top_k + separate logsumexp — exact, 884 ex/s.
+TOPK_MODE: str = "approx"
+
+
 def topk_lse(logits: Array, k: int) -> Tuple[Array, Array, Array]:
     """(top_vals (B,k) f32, top_toks (B,k) i32, lse (B,) f32) from raw
     last-token logits — the shared beam/greedy scoring policy for BOTH
-    backbones (VLBart/VLT5.decode_step_topk).
-
-    TPU at vocab scale uses PartialReduce-based approx_max_k on RAW
-    logits: ~2x the sort-based custom call; recall 0.99 is empirically
-    exact for 2K of 50k (scripts/bench_topk.py). A fused
-    projection+lse+exact-topk Pallas kernel was built and measured SLOWER
-    (PERF.md r3 "What was tried")."""
+    backbones (VLBart/VLT5.decode_step_topk). Exact lax.top_k semantics
+    on CPU and in every exact_* TOPK_MODE; the default TPU mode rides
+    approx_max_k's 0.99-recall contract for throughput — flip TOPK_MODE
+    to 'exact_hier' for bit-exact reference (torch.topk) beam parity at
+    -8.5% decode speed. (A fused projection+lse+exact-topk Pallas kernel
+    over the PROJECTION was built r3 and measured slower — PERF.md "What
+    was tried"; ops/topk.py fuses only the reduction, reading the logits
+    once.)"""
+    if logits.shape[-1] >= 4096 and jax.default_backend() not in ("cpu",):
+        if TOPK_MODE == "approx":
+            logits = logits.astype(jnp.float32)
+            lse = jax.scipy.special.logsumexp(logits, axis=-1)
+            vals, toks = jax.lax.approx_max_k(
+                logits, k, recall_target=0.99, aggregate_to_topk=True)
+            return vals, toks.astype(jnp.int32), lse
+        if TOPK_MODE == "exact_hier":
+            from vlpet_tpu.ops.topk import topk_lse_hier
+            return topk_lse_hier(logits, k)
+        if TOPK_MODE == "exact_fused":
+            from vlpet_tpu.ops.topk import topk_lse_exact
+            return topk_lse_exact(logits, k)
     logits = logits.astype(jnp.float32)
     lse = jax.scipy.special.logsumexp(logits, axis=-1)
-    if logits.shape[-1] >= 4096 and jax.default_backend() not in ("cpu",):
-        vals, toks = jax.lax.approx_max_k(
-            logits, k, recall_target=0.99, aggregate_to_topk=True)
-    else:
-        vals, toks = jax.lax.top_k(logits, k)
+    vals, toks = jax.lax.top_k(logits, k)
     return vals, toks.astype(jnp.int32), lse
 
 

@@ -126,8 +126,15 @@ def _ltiled_block(L: int, S: int, inner: int, num_heads: int, has_bias: bool,
     fits the scoped-vmem stack; 0 if none does. The kernel holds one
     (block_l, S) score strip per head at a time plus the full (S, inner)
     k/v blocks (grid-resident across the row sweep), so the ceiling is set
-    by S·inner io + strip copies — NOT by L, which only sets the grid."""
+    by S·inner io + strip copies — NOT by L, which only sets the grid.
+
+    Blocks are additionally capped at the 8-row-padded query length: a
+    block taller than Lp is pure padding compute (the short-query cross
+    sites, L≈10, would otherwise sweep a 128-row strip for 10 real rows)."""
+    cap = max(8, -(-L // 8) * 8)
     for bl in _LTILED_BLOCKS:
+        if bl > cap:
+            continue
         kv = 2 * S * inner * io_bytes * 2          # k+v, double-buffered
         q_rows = 2 * bl * inner * io_bytes * 2     # q + out blocks
         mask = max(8, bl) * S * 4 * 2
@@ -202,8 +209,15 @@ def _select_attention_mode(B: int, L: int, S: int, inner: int,
     # the bwd dispatcher passes need_bwd=True and keeps perhead.
     bias_pref_ok = (not has_bias
                     or (PREFER_LTILED_FWD_WITH_BIAS and not need_bwd))
-    if (PREFER_LTILED_OVER_PERHEAD and ltiled_ok and bias_pref_ok
-            and L >= 128 and io_bytes <= 2):
+    # Short-QUERY long-KV sites (decoder cross at video shapes: L≈10,
+    # S≈604): the per-head kernels transpose the (B, S, H·Dh) K/V to
+    # (B, H, S, Dh) at every layer fwd+bwd — the 17.5 ms/step formatting
+    # residual of the r4 video profile (PERF.md). The L-tiled family keeps
+    # the projection-native layout; with blocks capped at the padded query
+    # length (see _ltiled_block) the padding compute is one 16-row strip.
+    short_q_ok = (PREFER_LTILED_SHORT_Q and L < 128 and S >= 512)
+    if (ltiled_ok and bias_pref_ok and io_bytes <= 2
+            and ((PREFER_LTILED_OVER_PERHEAD and L >= 128) or short_q_ok)):
         return "ltiled"
     if perhead_ok:
         return "perhead"
@@ -235,6 +249,12 @@ PREFER_LTILED_OVER_PERHEAD: bool = True
 #: per-program bias-block loads the ltiled layout adds). Kept as a knob
 #: for future toolchains.
 PREFER_LTILED_FWD_WITH_BIAS: bool = False
+
+#: Short-query preference: route bias-free L<128, S>=512 sites (the video
+#: decoder-cross shapes) onto the L-tiled kernels instead of per-head,
+#: killing their K/V (B,S,H·Dh)↔(B,H,S,Dh) transposes. Default pending the
+#: e2e A/B (scripts/bench_step_variants.py video_crosslt vs video_base).
+PREFER_LTILED_SHORT_Q: bool = False
 
 
 def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
