@@ -27,6 +27,15 @@ if not _ON_TPU:
     # production, wrong for golden-value parity tests. Pin fp32 under pytest.
     jax.config.update("jax_default_matmul_precision", "float32")
 
+    # Persistent compile cache for the CPU suite: XLA:CPU compiles dominate
+    # the suite's wall-clock on this 1-core host, and they are identical
+    # across runs (same shapes, same fp32 pin). Keyed on backend+flags+jax
+    # version, so it never collides with the TPU cache (/tmp/vlpet_jax_cache,
+    # different dir anyway). First run populates; repeat runs skip every
+    # compile over 1 s.
+    jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_cpu_test_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
 import numpy as np
 import pytest
 

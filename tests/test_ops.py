@@ -951,11 +951,23 @@ def test_fused_attention_vmem_feasibility_gate():
     # video QA joint sequences (bf16): bias-free encoder self-attention
     # prefers the L-tiled kernels (e2e parity-to-better + no head
     # transposes, PERF.md r4); the T5 per-head
-    # bias case keeps the per-head kernels (ltiled loses there), as do
-    # short-query sites (decoder cross L=10 — row padding waste)
+    # bias case keeps the per-head kernels (ltiled loses there). The
+    # short-query cross sites (decoder cross L=10 over S=604 K/V) ALSO
+    # ride ltiled since r5 (+6.6% BART / +5.7% T5 e2e, PERF.md) — but
+    # only bias-free ones, and only at long-KV (S>=512) shapes
     assert _select_attention_mode(80, 604, 604, 768, 12, False, 0.0, 2) == "ltiled"
     assert _select_attention_mode(4, 604, 604, 768, 12, True, 0.1, 2) == "perhead"
-    assert _select_attention_mode(50, 10, 604, 768, 12, False, 0.0, 2) == "perhead"
+    assert _select_attention_mode(50, 10, 604, 768, 12, False, 0.0, 2) == "ltiled"
+    att_mod = __import__("vlpet_tpu.ops.attention", fromlist=["x"])
+    att_mod.PREFER_LTILED_SHORT_Q = False
+    try:
+        assert _select_attention_mode(50, 10, 604, 768, 12, False, 0.0,
+                                      2) == "perhead"
+    finally:
+        att_mod.PREFER_LTILED_SHORT_Q = True
+    # short-KV cross (flagship decode prefill) and bias sites stay put
+    assert _select_attention_mode(50, 10, 300, 768, 12, False, 0.0, 2) != "ltiled"
+    assert _select_attention_mode(50, 10, 604, 768, 12, True, 0.1, 2) == "perhead"
     import vlpet_tpu.ops.attention as att
     att.PREFER_LTILED_OVER_PERHEAD = False
     try:
@@ -1259,6 +1271,53 @@ def test_fused_attention_dispatches_perhead_and_xla_fallback():
     for g, w in zip(got, want):
         np.testing.assert_allclose(np.asarray(g), np.asarray(w),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_fused_attention_short_query_ltiled_route():
+    """The r5 short-query preference end to end through the dispatcher:
+    at the video decoder-cross shape class (L=10 queries over S>=512 K/V,
+    bias-free, bf16) the NATURAL route is the L-tiled family with the
+    block capped at the padded query length (16 rows, not a 128-row
+    padding sweep), and primal + grads match the reference. bf16-only by
+    design (`io_bytes <= 2` in the preference gate) — f32 keeps perhead."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    import vlpet_tpu.ops.attention as att
+
+    B, L, S, H, hd = 8, 10, 512, 4, 64
+    inner = H * hd
+    assert att._select_attention_mode(B, L, S, inner, H, False, 0.0,
+                                      2) == "ltiled"
+    assert att._select_attention_mode(B, L, S, inner, H, False, 0.0,
+                                      4) == "perhead"  # f32 excluded
+    # the capped block: one 16-row strip for 10 real rows
+    assert att._ltiled_block(L, S, inner, H, False, 0.0, 2, True) == 16
+    ks = jax.random.split(jax.random.PRNGKey(11), 3)
+    q = (jax.random.normal(ks[0], (B, L, inner), jnp.float32) / 8
+         ).astype(jnp.bfloat16)
+    k = (jax.random.normal(ks[1], (B, S, inner), jnp.float32) / 8
+         ).astype(jnp.bfloat16)
+    v = jax.random.normal(ks[2], (B, S, inner), jnp.float32
+                          ).astype(jnp.bfloat16)
+    mask = jnp.where(jnp.arange(S)[None, None, None] < S - 32, 0.0, -1e9
+                     ).astype(jnp.bfloat16) * jnp.ones((B, 1, 1, S),
+                                                       jnp.bfloat16)
+
+    def f(fn, q_, k_, v_):
+        return (fn(q_, k_, v_, mask, H, False).astype(jnp.float32)
+                ** 2).sum()
+
+    with pltpu.force_tpu_interpret_mode():
+        loss, grads = jax.value_and_grad(
+            lambda *a: f(att.fused_attention, *a), argnums=(0, 1, 2))(q, k, v)
+    wl, wg = jax.value_and_grad(
+        lambda *a: f(att.fused_attention_reference, *a),
+        argnums=(0, 1, 2))(q, k, v)
+    np.testing.assert_allclose(float(loss), float(wl), rtol=2e-2)
+    for g, w in zip(grads, wg):
+        np.testing.assert_allclose(np.asarray(g, np.float32),
+                                   np.asarray(w, np.float32),
+                                   rtol=1e-1, atol=0.15)
 
 
 def test_fused_ln_vmem_row_fitting():

@@ -252,9 +252,15 @@ PREFER_LTILED_FWD_WITH_BIAS: bool = False
 
 #: Short-query preference: route bias-free L<128, S>=512 sites (the video
 #: decoder-cross shapes) onto the L-tiled kernels instead of per-head,
-#: killing their K/V (B,S,H·Dh)↔(B,H,S,Dh) transposes. Default pending the
-#: e2e A/B (scripts/bench_step_variants.py video_crosslt vs video_base).
-PREFER_LTILED_SHORT_Q: bool = False
+#: killing their K/V (B,S,H·Dh)↔(B,H,S,Dh) transposes (the 17.5 ms/step
+#: formatting residual of the r4 video profile). Default True from the
+#: same-session e2e A/Bs (scripts/bench_step_variants.py, 2026-08-20,
+#: two independent sessions): BART video S=604 **403.2 vs 378.4** then
+#: **399.8 vs 374.7** ex/s (+6.6%/+6.7%); T5 video **209.7 vs 198.4**
+#: (+5.7%); losses bit-stable. The block cap at the 8-row-padded query
+#: length (_ltiled_block) is what makes this viable: the strip is 16 rows
+#: for L=10, not a 128-row padding sweep.
+PREFER_LTILED_SHORT_Q: bool = True
 
 
 def fused_attention_fits(B: int, L: int, S: int, inner: int, num_heads: int,
