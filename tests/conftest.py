@@ -34,7 +34,7 @@ if not _ON_TPU:
     # different dir anyway). First run populates; repeat runs skip every
     # compile over 1 s.
     jax.config.update("jax_compilation_cache_dir", "/tmp/vlpet_cpu_test_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np
 import pytest
