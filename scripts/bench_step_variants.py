@@ -87,6 +87,17 @@ VARIANTS = {
     # query length so the strip is 16 rows, not 128
     "video_crosslt": {"_video": True, "_short_q_lt": True},
     "t5_video_crosslt": {"_video": True, "_t5": True, "_short_q_lt": True},
+    # ...adopted as the default after two reproduced wins (+6.6% BART,
+    # +5.7% T5 — PERF.md). The *_nocross variants pin the flag OFF to
+    # regression-check the cliff shapes (S=704/1024) whose cross sites
+    # the new default also reroutes:
+    "video704_nocross": {"_video": 704, "_short_q_lt": False},
+    "video1024_nocross": {"_video": 1024, "_short_q_lt": False},
+    # S=1024 production rides the trainer's small-FFN-tile retry (tb=128
+    # blows scoped vmem there with OR without short-q, r4) — the pair
+    # that decides whether short-q stays on at S=1024 is at tb=32:
+    "video1024_ffn32_nocross": {"_video": 1024, "_ffn_tb": 32,
+                                "_short_q_lt": False},
     # fwd-only ltiled at T5's bias sites (bwd keeps perhead) — isolated
     # fwd won 3.29 vs 3.77 ms; this decides the default
     "t5_video_fwdlt": {"_video": True, "_t5": True, "_fwd_bias_lt": True},
@@ -136,10 +147,11 @@ def bench_variant(name: str, overrides: dict, B: int = 500) -> float:
             return bench_variant(name, overrides, B)
         finally:
             att.PREFER_LTILED_OVER_PERHEAD = prev
-    if overrides.pop("_short_q_lt", False):
+    short_q = overrides.pop("_short_q_lt", None)
+    if short_q is not None:
         import vlpet_tpu.ops.attention as att
         prev = att.PREFER_LTILED_SHORT_Q
-        att.PREFER_LTILED_SHORT_Q = True
+        att.PREFER_LTILED_SHORT_Q = short_q
         try:
             return bench_variant(name, overrides, B)
         finally:

@@ -968,6 +968,10 @@ def test_fused_attention_vmem_feasibility_gate():
     # short-KV cross (flagship decode prefill) and bias sites stay put
     assert _select_attention_mode(50, 10, 300, 768, 12, False, 0.0, 2) != "ltiled"
     assert _select_attention_mode(50, 10, 604, 768, 12, True, 0.1, 2) == "perhead"
+    # ...and so does S=1024: short-q there OOMs the ENCODER kernel's
+    # scoped-vmem stack via graph context (measured 2026-08-20, PERF.md)
+    assert _select_attention_mode(16, 10, 1024, 768, 12, False, 0.0,
+                                  2) == "perhead"
     import vlpet_tpu.ops.attention as att
     att.PREFER_LTILED_OVER_PERHEAD = False
     try:

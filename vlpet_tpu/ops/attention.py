@@ -215,7 +215,14 @@ def _select_attention_mode(B: int, L: int, S: int, inner: int,
     # residual of the r4 video profile (PERF.md). The L-tiled family keeps
     # the projection-native layout; with blocks capped at the padded query
     # length (see _ltiled_block) the padding compute is one 16-row strip.
-    short_q_ok = (PREFER_LTILED_SHORT_Q and L < 128 and S >= 512)
+    # S capped at 704: the route's wins are measured at S=604 (+6.6%) and
+    # S=704 (+9.7%), but at S=1024 adding the short-q cross kernels to the
+    # step graph pushes the ENCODER self-attn kernel's scoped-vmem stack
+    # over the limit (16.61M vs 16M, layer 5 — 2026-08-20, with or without
+    # the small FFN tile) — another instance of the graph-context-dependent
+    # Mosaic allocation documented in PERF.md "Toolchain drift". Beyond the
+    # measured window the cross sites keep the per-head kernels.
+    short_q_ok = (PREFER_LTILED_SHORT_Q and L < 128 and 512 <= S <= 704)
     if (ltiled_ok and bias_pref_ok and io_bytes <= 2
             and ((PREFER_LTILED_OVER_PERHEAD and L >= 128) or short_q_ok)):
         return "ltiled"
@@ -250,8 +257,8 @@ PREFER_LTILED_OVER_PERHEAD: bool = True
 #: for future toolchains.
 PREFER_LTILED_FWD_WITH_BIAS: bool = False
 
-#: Short-query preference: route bias-free L<128, S>=512 sites (the video
-#: decoder-cross shapes) onto the L-tiled kernels instead of per-head,
+#: Short-query preference: route bias-free L<128, 512<=S<=704 sites (the
+#: video decoder-cross shapes) onto the L-tiled kernels instead of per-head,
 #: killing their K/V (B,S,H·Dh)↔(B,H,S,Dh) transposes (the 17.5 ms/step
 #: formatting residual of the r4 video profile). Default True from the
 #: same-session e2e A/Bs (scripts/bench_step_variants.py, 2026-08-20,
@@ -259,7 +266,9 @@ PREFER_LTILED_FWD_WITH_BIAS: bool = False
 #: **399.8 vs 374.7** ex/s (+6.6%/+6.7%); T5 video **209.7 vs 198.4**
 #: (+5.7%); losses bit-stable. The block cap at the 8-row-padded query
 #: length (_ltiled_block) is what makes this viable: the strip is 16 rows
-#: for L=10, not a 128-row padding sweep.
+#: for L=10, not a 128-row padding sweep. S=704 also wins (378.2 vs
+#: 344.7, +9.7%); S=1024 is EXCLUDED — see the gate in
+#: _select_attention_mode (graph-context scoped-vmem OOM).
 PREFER_LTILED_SHORT_Q: bool = True
 
 
