@@ -231,3 +231,66 @@ class TestBeamKernelPathParity:
         finally:
             D._INTERPRET, D._FORCE_KERNEL = False, False
         np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+class TestExactTopkPaddedVocab:
+    """generate.padded_vocab_for_topk: in exact_hier mode the decode-step
+    GEMM emits a 128-aligned vocab with _PAD columns so topk_lse_hier's
+    per-step HBM pad is dead code (PERF.md "Beam top-k exactness")."""
+
+    def test_helper_gates(self):
+        from vlpet_tpu.models import generate as gen
+        assert gen.padded_vocab_for_topk(50265, 5) is None  # default: approx
+        prev = gen.TOPK_MODE
+        gen.TOPK_MODE = "exact_hier"
+        try:
+            assert gen.padded_vocab_for_topk(50265, 5) == 50304
+            assert gen.padded_vocab_for_topk(32128, 5) is None  # aligned (T5)
+            # k<=2 routes to the iterative kernel, which never pads
+            assert gen.padded_vocab_for_topk(50265, 1) is None
+            assert gen.padded_vocab_for_topk(50265, 2) is None
+            assert gen.padded_vocab_for_topk(50265, 17) is None  # hier cap
+        finally:
+            gen.TOPK_MODE = prev
+
+    def test_decode_step_topk_pad_equivalence(self):
+        """tiny vocab 50 is NOT 128-aligned: under exact_hier the GEMM emits
+        width 128 (zero weight rows + _PAD bias); vals/toks/lse must be
+        bit-identical to the default unpadded path (CPU routes both modes
+        to the same lax.top_k reduction, so the only difference IS the
+        pad-at-GEMM)."""
+        from vlpet_tpu.models import generate as gen
+
+        m, variables, batch, cfg = make_model_and_batch()
+        B, k = 2, 5
+        ctx = PetContext()
+        enc_out, joint_mask = m.apply(variables, batch["input_ids"],
+                                      batch["attention_mask"],
+                                      batch["vis_feats"], batch["boxes"],
+                                      None, None, None, ctx,
+                                      method=VLBart.encode)
+        cross_kvs = m.apply(variables, enc_out, ctx, method=VLBart.init_decode)
+        tok = jnp.full((B, 1), cfg.backbone.decoder_start_token_id, jnp.int32)
+
+        def step():
+            cache = init_self_cache(cfg, B, 4)
+            return m.apply(variables, tok, joint_mask, cross_kvs, cache, 0,
+                           k, ctx, method=VLBart.decode_step_topk)
+
+        vals0, toks0, lse0, _ = step()
+        prev = gen.TOPK_MODE
+        gen.TOPK_MODE = "exact_hier"
+        try:
+            assert gen.padded_vocab_for_topk(50, k) == 128
+            vals1, toks1, lse1, _ = step()
+        finally:
+            gen.TOPK_MODE = prev
+        np.testing.assert_array_equal(np.asarray(vals0), np.asarray(vals1))
+        np.testing.assert_array_equal(np.asarray(toks0), np.asarray(toks1))
+        # lse: XLA:CPU's logsumexp reduction ORDER changes with the row
+        # width (50 vs 128), a 1-ulp effect. On the TPU exact_hier path the
+        # kernel always reduced over the PADDED width (it padded in-kernel
+        # before this change), so on-chip lse is bit-unchanged.
+        np.testing.assert_allclose(np.asarray(lse0), np.asarray(lse1),
+                                   rtol=3e-7, atol=0)
+        assert int(np.asarray(toks1).max()) < 50  # pad columns never win

@@ -45,6 +45,27 @@ NEG_INF = -1.0e7
 TOPK_MODE: str = "approx"
 
 
+def padded_vocab_for_topk(V: int, k: int):
+    """Vocab width the decode-step logits GEMM should emit (or None for the
+    natural V) so the exact top-k kernel's per-step HBM pad becomes dead code.
+
+    topk_lse_hier pads a non-128-multiple vocab in HBM every decode step
+    (BART 50265->50304: a full (R, V) f32 read+write, ~1.3 ms/step at the
+    flagship beam shape — PERF.md "Beam top-k exactness"). The models can
+    instead emit the aligned width straight out of the vocab GEMM by padding
+    the TIED WEIGHT (and bias) once — loop-invariant, so XLA hoists it out
+    of the decode while_loop, where the logits pad could not be. Pad columns
+    come out exactly `ops.topk._PAD` (zero weight rows contribute 0.0, the
+    bias column is _PAD), bit-identical to the kernel's own pad.
+
+    Returns a width only when the hier kernel would actually pad: mode
+    'exact_hier', k routed to the hierarchical sweep (2 < k <= 16, V >= 4k),
+    misaligned V. T5-base (32128 = 251*128) never pads."""
+    if TOPK_MODE == "exact_hier" and 2 < k <= 16 and V % 128 and V >= 4 * k:
+        return -(-V // 128) * 128
+    return None
+
+
 def topk_lse(logits: Array, k: int) -> Tuple[Array, Array, Array]:
     """(top_vals (B,k) f32, top_toks (B,k) i32, lse (B,) f32) from raw
     last-token logits — the shared beam/greedy scoring policy for BOTH

@@ -33,7 +33,7 @@ from flax import linen as nn
 from vlpet_tpu.ops.hashdrop import module_hash_dropout
 from vlpet_tpu.config import HyperformerSpec, PromptSpec, T5Config, VLModelConfig
 from vlpet_tpu.models.bart import NEG_INF, expand_mask
-from vlpet_tpu.models.generate import topk_lse
+from vlpet_tpu.models.generate import padded_vocab_for_topk, topk_lse
 from vlpet_tpu.models.visual import VisualEmbedding, LowRankVisualEmbedding, downsample_vis
 from vlpet_tpu.models.vlbart import cross_entropy_with_ignore
 from vlpet_tpu.pet.hypernet import (
@@ -978,13 +978,27 @@ class VLT5(nn.Module):
             ctx = dataclasses.replace(ctx, phm_W=self.phm_W)
         return ctx
 
-    def _logits(self, dec_out: Array) -> Array:
+    def _logits(self, dec_out: Array, pad_vocab_to: int = None) -> Array:
         b: T5Config = self.cfg.backbone
         if b.tie_word_embeddings:
             dec_out = dec_out * (b.d_model ** -0.5)
-            logits = jnp.einsum("btd,vd->btv", dec_out,
-                                self.model.shared.astype(dec_out.dtype),
+            w = self.model.shared.astype(dec_out.dtype)
+            V = w.shape[0]
+            if pad_vocab_to is not None and pad_vocab_to > V:
+                # Exact-top-k decode (see VLBart._logits): the weight pad is
+                # loop-invariant (hoists out of the decode while_loop); T5
+                # has no logits bias, so pad columns are forced to _PAD with
+                # an iota-select that XLA fuses into the GEMM's output
+                # fusion (no extra HBM pass). T5-base's 32128 vocab is
+                # 251*128, so this only fires for grown, misaligned vocabs.
+                w = jnp.pad(w, ((0, pad_vocab_to - V), (0, 0)))
+            logits = jnp.einsum("btd,vd->btv", dec_out, w,
                                 preferred_element_type=jnp.float32)
+            if pad_vocab_to is not None and pad_vocab_to > V:
+                from vlpet_tpu.ops.topk import _PAD
+                col = jax.lax.broadcasted_iota(
+                    jnp.int32, (1, 1, pad_vocab_to), 2)
+                logits = jnp.where(col >= V, jnp.float32(_PAD), logits)
         else:
             logits = self.lm_head(dec_out)
         return logits.astype(jnp.float32)
@@ -1109,7 +1123,8 @@ class VLT5(nn.Module):
             cache=cache, decode_pos=decode_pos, beam_anc=beam_anc,
             deterministic=True)
         x = dec_out[:, -1, :]
-        logits = self._logits(x[:, None])[:, -1]
+        logits = self._logits(x[:, None], pad_vocab_to=padded_vocab_for_topk(
+            self.model.shared.shape[0], k))[:, -1]
         vals, toks, lse = topk_lse(logits, k)
         return vals, toks, lse, new_cache
 

@@ -22,7 +22,7 @@ from flax import linen as nn
 
 from vlpet_tpu.config import VLModelConfig
 from vlpet_tpu.models.bart import BartDecoder, JointEncoder, expand_mask
-from vlpet_tpu.models.generate import topk_lse
+from vlpet_tpu.models.generate import padded_vocab_for_topk, topk_lse
 from vlpet_tpu.pet.hypernet import TaskEmbeddingController
 from vlpet_tpu.pet.modules import (OutputParallelAdapterLayer, PetContext,
                                    make_shared_phm_W, normal_init)
@@ -163,15 +163,31 @@ class VLBart(nn.Module):
             ctx = dataclasses.replace(ctx, phm_W=self.phm_W)
         return ctx
 
-    def _logits(self, dec_out: Array) -> Array:
+    def _logits(self, dec_out: Array, pad_vocab_to: int = None) -> Array:
         # fp32 accumulation straight out of the MXU: avoids materializing a
         # bf16 (B, T, V) tensor plus a separate fp32 conversion pass
-        logits = jnp.einsum("btd,vd->btv", dec_out,
-                            self.model.shared.astype(dec_out.dtype),
+        w = self.model.shared.astype(dec_out.dtype)
+        bias = self.final_logits_bias
+        if pad_vocab_to is not None and pad_vocab_to > w.shape[0]:
+            # Exact-top-k decode (generate.padded_vocab_for_topk): emit the
+            # kernel's 128-aligned width straight out of the GEMM — zero
+            # weight rows + _PAD bias columns make the pad columns exactly
+            # _PAD, bit-identical to topk_lse_hier's own HBM pad, but the
+            # weight pad is loop-invariant (hoists out of the decode
+            # while_loop) where the per-step (R, V) logits pad was not.
+            from vlpet_tpu.ops.topk import _PAD
+            pv = pad_vocab_to - w.shape[0]
+            w = jnp.pad(w, ((0, pv), (0, 0)))
+            bias = jnp.pad(bias, ((0, 0), (0, pv)), constant_values=_PAD)
+        logits = jnp.einsum("btd,vd->btv", dec_out, w,
                             preferred_element_type=jnp.float32)
-        logits = logits + self.final_logits_bias
+        logits = logits + bias
         if self.output_adapter is not None:
-            logits = logits + self.output_adapter(dec_out).astype(jnp.float32)
+            oa = self.output_adapter(dec_out).astype(jnp.float32)
+            if oa.shape[-1] < logits.shape[-1]:  # pad cols stay ~_PAD
+                oa = jnp.pad(oa, ((0, 0), (0, 0),
+                                  (0, logits.shape[-1] - oa.shape[-1])))
+            logits = logits + oa
         return logits
 
     def __call__(self, input_ids, attention_mask, vis_feats=None, boxes=None,
@@ -286,7 +302,8 @@ class VLBart(nn.Module):
             cross_kvs=cross_kvs, cache=cache, decode_pos=decode_pos,
             beam_anc=beam_anc, deterministic=True)
         x = dec_out[:, -1, :]
-        logits = self._logits(x[:, None])[:, -1]
+        logits = self._logits(x[:, None], pad_vocab_to=padded_vocab_for_topk(
+            self.model.shared.shape[0], k))[:, -1]
         vals, toks, lse = topk_lse(logits, k)
         return vals, toks, lse, new_cache
 
