@@ -240,18 +240,22 @@ class TestExactTopkPaddedVocab:
 
     def test_helper_gates(self):
         from vlpet_tpu.models import generate as gen
-        assert gen.padded_vocab_for_topk(50265, 5) is None  # default: approx
-        prev = gen.TOPK_MODE
+        prev_mode, prev_force = gen.TOPK_MODE, gen._FORCE_PAD
+        # on the CPU backend the kernel never runs, so no pad in any mode
         gen.TOPK_MODE = "exact_hier"
         try:
+            assert gen.padded_vocab_for_topk(50265, 5) is None  # cpu backend
+            gen._FORCE_PAD = True  # emulate the TPU vocab-scale route
             assert gen.padded_vocab_for_topk(50265, 5) == 50304
             assert gen.padded_vocab_for_topk(32128, 5) is None  # aligned (T5)
             # k<=2 routes to the iterative kernel, which never pads
             assert gen.padded_vocab_for_topk(50265, 1) is None
             assert gen.padded_vocab_for_topk(50265, 2) is None
             assert gen.padded_vocab_for_topk(50265, 17) is None  # hier cap
+            gen.TOPK_MODE = "approx"
+            assert gen.padded_vocab_for_topk(50265, 5) is None  # mode gate
         finally:
-            gen.TOPK_MODE = prev
+            gen.TOPK_MODE, gen._FORCE_PAD = prev_mode, prev_force
 
     def test_decode_step_topk_pad_equivalence(self):
         """tiny vocab 50 is NOT 128-aligned: under exact_hier the GEMM emits
@@ -278,13 +282,13 @@ class TestExactTopkPaddedVocab:
                            k, ctx, method=VLBart.decode_step_topk)
 
         vals0, toks0, lse0, _ = step()
-        prev = gen.TOPK_MODE
-        gen.TOPK_MODE = "exact_hier"
+        prev_mode, prev_force = gen.TOPK_MODE, gen._FORCE_PAD
+        gen.TOPK_MODE, gen._FORCE_PAD = "exact_hier", True
         try:
             assert gen.padded_vocab_for_topk(50, k) == 128
             vals1, toks1, lse1, _ = step()
         finally:
-            gen.TOPK_MODE = prev
+            gen.TOPK_MODE, gen._FORCE_PAD = prev_mode, prev_force
         np.testing.assert_array_equal(np.asarray(vals0), np.asarray(vals1))
         np.testing.assert_array_equal(np.asarray(toks0), np.asarray(toks1))
         # lse: XLA:CPU's logsumexp reduction ORDER changes with the row

@@ -28,21 +28,24 @@ NEG_INF = -1.0e7
 
 
 #: Vocab-scale top-k strategy on TPU — bench/test hook
-#: (scripts/bench_beam.py --topk). All e2e numbers: flagship beam-5
-#: B=500, measured 2026-08-20 (PERF.md "Beam top-k exactness, r5"):
-#:   'approx' (default): approx_max_k(recall_target=0.99) — 1151 ex/s.
-#:     On jax 0.9.0 only 96.4% of rows recover the exact top-10 at the
-#:     flagship shape (the r3 "empirically exact" note was stale); the
-#:     0.99 per-element recall CONTRACT is regression-guarded on
-#:     hardware (tests/test_tpu_hardware.py, bench_beam recall print).
-#:   'exact_hier': hierarchical Pallas sweep + XLA extraction
+#: (scripts/bench_beam.py --topk). All e2e numbers: flagship B=500,
+#: paired same-session A/Bs 2026-08-20 (PERF.md "Beam top-k exactness"):
+#:   'exact_hier' (default): hierarchical Pallas sweep + XLA extraction
 #:     (ops/topk.py topk_lse_hier) — EXACT torch.topk/lax.top_k
-#:     semantics at 1053 ex/s, the fastest exact option (+19% over
-#:     exact_xla). Flip here for bit-exact reference beam parity at
-#:     -8.5% decode throughput.
+#:     semantics, and since the vocab pad was hoisted into the logits
+#:     GEMM (padded_vocab_for_topk) also the FASTEST mode: beam-5
+#:     1197 vs approx's 1148 ex/s, greedy 12223 vs 11625. Bit-exact
+#:     reference beam parity costs nothing anymore, so it is the default.
+#:   'approx': approx_max_k(recall_target=0.99). On jax 0.9.0 only
+#:     96.4% of beam rows recover the exact top-10 (greedy: 99.6% the
+#:     exact top-2) at the flagship shape — and it measured SLOWER than
+#:     exact_hier once the pad was hoisted. Kept as the A/B reference
+#:     and for toolchains where the sort custom-call beats the sweep;
+#:     its 0.99 recall contract stays regression-guarded on hardware
+#:     (tests/test_tpu_hardware.py, bench_beam recall print).
 #:   'exact_fused': the iterative k-pass kernel — exact, 920 ex/s.
 #:   'exact_xla': lax.top_k + separate logsumexp — exact, 884 ex/s.
-TOPK_MODE: str = "approx"
+TOPK_MODE: str = "exact_hier"
 
 
 def padded_vocab_for_topk(V: int, k: int):
@@ -60,23 +63,32 @@ def padded_vocab_for_topk(V: int, k: int):
 
     Returns a width only when the hier kernel would actually pad: mode
     'exact_hier', k routed to the hierarchical sweep (2 < k <= 16, V >= 4k),
-    misaligned V. T5-base (32128 = 251*128) never pads."""
-    if TOPK_MODE == "exact_hier" and 2 < k <= 16 and V % 128 and V >= 4 * k:
+    misaligned V, and the vocab-scale non-CPU route where topk_lse runs the
+    kernel at all (so the CPU suite's tiny-vocab lax.top_k paths stay
+    byte-identical across modes; _FORCE_PAD lets tests exercise the pad).
+    T5-base (32128 = 251*128) never pads."""
+    if (TOPK_MODE == "exact_hier" and 2 < k <= 16 and V % 128 and V >= 4 * k
+            and (_FORCE_PAD or (V >= 4096
+                                and jax.default_backend() not in ("cpu",)))):
         return -(-V // 128) * 128
     return None
+
+
+#: Test hook: exercise the pad-at-GEMM path on the CPU/tiny-vocab routes
+#: padded_vocab_for_topk normally exempts (tests/test_generation.py).
+_FORCE_PAD: bool = False
 
 
 def topk_lse(logits: Array, k: int) -> Tuple[Array, Array, Array]:
     """(top_vals (B,k) f32, top_toks (B,k) i32, lse (B,) f32) from raw
     last-token logits — the shared beam/greedy scoring policy for BOTH
     backbones (VLBart/VLT5.decode_step_topk). Exact lax.top_k semantics
-    on CPU and in every exact_* TOPK_MODE; the default TPU mode rides
-    approx_max_k's 0.99-recall contract for throughput — flip TOPK_MODE
-    to 'exact_hier' for bit-exact reference (torch.topk) beam parity at
-    -8.5% decode speed. (A fused projection+lse+exact-topk Pallas kernel
-    over the PROJECTION was built r3 and measured slower — PERF.md "What
-    was tried"; ops/topk.py fuses only the reduction, reading the logits
-    once.)"""
+    on CPU and in every exact_* TOPK_MODE — including the default
+    'exact_hier', which since the pad hoist (padded_vocab_for_topk) is
+    also the fastest mode measured (see TOPK_MODE above). (A fused
+    projection+lse+exact-topk Pallas kernel over the PROJECTION was
+    built r3 and measured slower — PERF.md "What was tried"; ops/topk.py
+    fuses only the reduction, reading the logits once.)"""
     if logits.shape[-1] >= 4096 and jax.default_backend() not in ("cpu",):
         if TOPK_MODE == "approx":
             logits = logits.astype(jnp.float32)
